@@ -1,0 +1,223 @@
+"""Model / data / training configuration with the three dataset presets.
+
+The reference configures by editing module-level globals per subproject
+(reference: geo-aware/train.py:21-54, knowledge-aware/train.py:21-54,
+news-knowledge-aware/train.py:21-54 and */create_input_files.py constructor
+kwargs).  Here the same values live in one dataclass tree with three presets,
+so a single pipeline serves all three datasets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (reference: */train.py:27-38, */models.py)."""
+
+    variant: str  # "geo" | "knowledge" | "news"
+    emb_dim: int = 300              # d_model (word/entity/fact embedding dim)
+    decoder_ffn_dim: int = 512      # FFN width in the transformer decoder
+    encoder_ffn_dim: int = 512      # FFN width in the context transformer encoders
+    num_heads: int = 10             # heads per transformer layer (head_dim 30)
+    num_layers: int = 3             # transformer layers (decoder and ctx encoders)
+    dropout_dec: float = 0.2        # train.py:36 (class default 0.5 at models.py:219)
+    dropout_enc: float = 0.2
+    dropout_pos: float = 0.1
+    # Image encoder (reference: */models.py:9-60)
+    encoded_image_size: int = 14    # 14x14 grid -> 196 image tokens
+    image_encoder_dim: int = 2048   # ResNet-101 final channel count
+    # Entity type-embedding table: geo 1000x296, knowledge 1000x294, news 20x295
+    # (reference: geo models.py:247, knowledge models.py:327, news models.py:310).
+    type_vocab: int = 1000
+    # Number of leading hand-crafted feature dims in the entity vector
+    # (geo: 4 = dist/az_north/az_east/size; knowledge: 6 = + fact count,
+    # fact indicator; news: 5 = count/headline/first_par/fact count/indicator).
+    num_entity_feature_dims: int = 4
+    # Predicate embedding table; 0 disables the fact path (geo variant).
+    num_predicates: int = 0         # knowledge 3000, news 3500
+    # News only: multiply entity vectors by the mean word embedding of the
+    # entity-name words packed in feature columns 5..9
+    # (reference: news models.py:127-133, news utils.py:232-244).
+    entity_name_embedding: bool = False
+    max_pos_len: int = 5000         # positional-encoding table length
+
+    @property
+    def has_facts(self) -> bool:
+        return self.num_predicates > 0
+
+    @property
+    def type_emb_dim(self) -> int:
+        return self.emb_dim - self.num_entity_feature_dims
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Offline prep + loader settings (reference: */create_input_files.py)."""
+
+    base_name: str                   # file-naming protocol base name
+    entity_context_size: int         # E (stored arrays have E+1 rows incl <unk_ent>)
+    fact_context_size: int = 0       # F (0 = no facts); stored arrays have F+1 rows
+    max_caption_len: int = 30        # captions longer than this are skipped at prep
+    min_word_freq: int = 0
+    img_size: int = 256
+    # feature columns packed per entity row (after the leading row-index col)
+    entity_feature_cols: Tuple[str, ...] = ("distance", "azimuth", "size", "type_index")
+    entity_random_ranges: Tuple[Tuple[float, float], ...] = (
+        (0.0, 1.0), (-179.0, 179.0), (0.0, 0.1), (0, 500),
+    )
+    fact_feature_cols: Tuple[str, ...] = ()
+    fact_random_ranges: Tuple[Tuple[float, float], ...] = ()
+    name_col: str = "name"
+    # news packs 5 wordmap ids of the entity name into the feature row
+    # (reference: news utils.py:232-244)
+    pack_name_word_ids: bool = False
+    max_name_part_count: int = 5
+    # wordmap rule deltas (reference: news create_input_files.py:375-387)
+    split_tokens_on_underscore: bool = False
+    fold_entity_names_into_wordmap: bool = False
+
+    @property
+    def num_entity_rows(self) -> int:
+        return self.entity_context_size + 1
+
+    @property
+    def num_fact_rows(self) -> int:
+        return self.fact_context_size + 1 if self.fact_context_size else 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-driver settings (reference: */train.py:40-54)."""
+
+    epochs: int = 120
+    batch_size: int = 4
+    encoder_lr: float = 1e-4
+    decoder_lr: float = 4e-4
+    grad_clip: float = 5.0           # per-element clamp, NOT norm clip (utils.py:75-85)
+    max_epochs_since_improvement: int = 20
+    lr_decay_every: int = 8          # decay when stale epochs % 8 == 0
+    lr_decay_factor: float = 0.8
+    fine_tune_encoder: bool = False
+    print_freq: int = 100
+    seed: int = 0
+    # TPU-native additions
+    compute_dtype: str = "bfloat16"  # matmul dtype inside the model
+    data_axis: str = "data"          # mesh axis for batch sharding
+    model_axis: str = "model"        # mesh axis for vocab/embedding sharding
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Inference settings (reference: */eval.py)."""
+
+    max_caption_len: int = 30        # geo eval.py:131; knowledge/news use 40
+    beam_size: int = 1               # 1 = greedy (reference capability); >1 = beam
+    batch_size: int = 1              # reference uses 1; we support batched decode
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str
+    model: ModelConfig
+    data: DataConfig
+    train: TrainConfig
+    decode: DecodeConfig
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def georic() -> Config:
+    """geo-aware preset (reference: geo-aware/train.py, create_input_files.py:341-356)."""
+    return Config(
+        name="georic",
+        model=ModelConfig(
+            variant="geo",
+            type_vocab=1000,
+            num_entity_feature_dims=4,
+            num_predicates=0,
+        ),
+        data=DataConfig(
+            base_name="geo_aware_georic2",
+            entity_context_size=300,
+            fact_context_size=0,
+            max_caption_len=30,
+            min_word_freq=0,
+        ),
+        train=TrainConfig(batch_size=4),
+        decode=DecodeConfig(max_caption_len=30),
+    )
+
+
+def k_georic() -> Config:
+    """knowledge-aware preset (reference: knowledge-aware/train.py,
+    create_input_files.py:58-62,164-190)."""
+    return Config(
+        name="k_georic",
+        model=ModelConfig(
+            variant="knowledge",
+            type_vocab=1000,
+            num_entity_feature_dims=6,
+            num_predicates=3000,
+        ),
+        data=DataConfig(
+            base_name="knowledge_from_metadata",
+            entity_context_size=300,
+            fact_context_size=50,
+            max_caption_len=100,
+            min_word_freq=0,
+            entity_random_ranges=((0.0, 10.0), (-179.0, 179.0), (0.0, 0.1), (0, 500)),
+            fact_feature_cols=("subject_idx_in_entity_context", "predicate_idx"),
+            fact_random_ranges=((300, 300), (0, 0)),
+        ),
+        train=TrainConfig(batch_size=4),
+        decode=DecodeConfig(max_caption_len=40),
+    )
+
+
+def nytimes800k() -> Config:
+    """news-knowledge-aware preset (reference: news-knowledge-aware/train.py,
+    create_input_files.py:58-62,165-191)."""
+    return Config(
+        name="nytimes800k",
+        model=ModelConfig(
+            variant="news",
+            type_vocab=20,
+            num_entity_feature_dims=5,
+            num_predicates=3500,
+            entity_name_embedding=True,
+        ),
+        data=DataConfig(
+            base_name="knowledge_from_metadata_nytimes",
+            entity_context_size=100,
+            fact_context_size=300,
+            max_caption_len=50,
+            min_word_freq=5,
+            entity_feature_cols=(
+                "count", "in_headline", "in_first_paragraph", "type", "name_processed",
+            ),
+            entity_random_ranges=((0, 0), (0, 0), (0, 0), (0, 0), (0, 0)),
+            fact_feature_cols=("subject_idx_in_entity_context", "predicate_idx"),
+            fact_random_ranges=((100, 100), (0, 0)),
+            name_col="name_processed",
+            pack_name_word_ids=True,
+            split_tokens_on_underscore=True,
+            fold_entity_names_into_wordmap=True,
+        ),
+        train=TrainConfig(batch_size=3),
+        decode=DecodeConfig(max_caption_len=40),
+    )
+
+
+PRESETS = {
+    "georic": georic,
+    "k_georic": k_georic,
+    "nytimes800k": nytimes800k,
+}
+
+
+def get_config(name: str) -> Config:
+    return PRESETS[name]()

@@ -1,0 +1,292 @@
+"""Transformer encoder/decoder stack, TPU-first but torch-parity.
+
+Functional re-implementation of the semantics the reference gets from
+``nn.TransformerEncoder``/``nn.TransformerDecoder`` (post-layer-norm, ReLU
+FFN, dropout on attention weights and residual branches; reference:
+geo-aware/models.py:241-244) so ported checkpoints reproduce outputs.
+
+Everything is a pure function over a params pytree:
+  * weights are stored (in_features, out_features) — torch imports transpose;
+  * batch-first layout (B, T, D) throughout — the reference's (T, B, D)
+    permutes are a torch convention with no XLA benefit;
+  * attention runs in a configurable compute dtype (bfloat16 on TPU) with
+    float32 softmax accumulation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_linear(key, d_in, d_out, include_bias=True):
+    """torch nn.Linear default init: kaiming-uniform weights, fan-in bias."""
+    kw, kb = jax.random.split(key)
+    bound_w = math.sqrt(1.0 / d_in) * math.sqrt(3.0)  # kaiming_uniform(a=sqrt(5))
+    params = {"w": _uniform(kw, (d_in, d_out), bound_w)}
+    if include_bias:
+        params["b"] = _uniform(kb, (d_out,), math.sqrt(1.0 / d_in))
+    return params
+
+
+def linear(params, x, compute_dtype=None):
+    w = params["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = x @ w
+    if "b" in params:
+        y = y + params["b"].astype(y.dtype)
+    return y
+
+
+def init_layer_norm(d):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def layer_norm(params, x, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]
+
+
+def init_mha(key, d_model):
+    """torch nn.MultiheadAttention layout: fused qkv projection + out proj."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    bound = math.sqrt(1.0 / d_model) * math.sqrt(3.0)
+    return {
+        # xavier_uniform over the fused (3d, d) matrix, stored (d, 3d)
+        "qkv_w": _uniform(k1, (d_model, 3 * d_model), math.sqrt(6.0 / (4 * d_model))),
+        "qkv_b": jnp.zeros((3 * d_model,), jnp.float32),
+        "out": init_linear(k2, d_model, d_model) | {"b": jnp.zeros((d_model,), jnp.float32)},
+    }
+
+
+def dropout(x, rate, key, deterministic):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def multi_head_attention(
+    params,
+    q_in: jnp.ndarray,            # (B, Tq, D)
+    kv_in: jnp.ndarray,           # (B, Tk, D)
+    num_heads: int,
+    attn_mask: Optional[jnp.ndarray] = None,   # (Tq, Tk) additive, -inf masked
+    dropout_rate: float = 0.0,
+    dropout_key=None,
+    deterministic: bool = True,
+    compute_dtype=jnp.float32,
+    kv_cache: Optional[dict] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+):
+    """Fused-projection MHA matching torch semantics.
+
+    With `kv_cache` (dict with "k"/"v" of shape (B, Tmax, H, Hd)) and
+    `cache_index`, the freshly projected K/V rows for the (single-step) input
+    are written at `cache_index` and attention runs over the cache prefix —
+    the on-device autoregressive decode path.
+    Returns (output, updated_cache_or_None).
+    """
+    B, Tq, D = q_in.shape
+    H = num_heads
+    Hd = D // H
+    w = params["qkv_w"].astype(compute_dtype)
+    b = params["qkv_b"].astype(compute_dtype)
+    q = q_in.astype(compute_dtype) @ w[:, :D] + b[:D]
+    if kv_in is q_in:
+        kv_proj = q_in.astype(compute_dtype) @ w[:, D:] + b[D:]
+    else:
+        kv_proj = kv_in.astype(compute_dtype) @ w[:, D:] + b[D:]
+    k, v = jnp.split(kv_proj, 2, axis=-1)
+
+    q = q.reshape(B, Tq, H, Hd)
+    k = k.reshape(B, -1, H, Hd)
+    v = v.reshape(B, -1, H, Hd)
+
+    new_cache = None
+    if kv_cache is not None:
+        # Write this step's K/V at cache_index, attend over the whole buffer.
+        k_buf = jax.lax.dynamic_update_slice(
+            kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, cache_index, 0, 0)
+        )
+        v_buf = jax.lax.dynamic_update_slice(
+            kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, cache_index, 0, 0)
+        )
+        new_cache = {"k": k_buf, "v": v_buf}
+        k, v = k_buf.astype(compute_dtype), v_buf.astype(compute_dtype)
+
+    scale = 1.0 / math.sqrt(Hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    logits = logits.astype(jnp.float32)
+    if attn_mask is not None:
+        logits = logits + attn_mask
+    if kv_cache is not None:
+        # Mask out cache rows past the current step.
+        Tk = kv_cache["k"].shape[1]
+        valid = jnp.arange(Tk) <= cache_index
+        logits = jnp.where(valid[None, None, None, :], logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if not deterministic and dropout_rate > 0.0:
+        weights = dropout(weights, dropout_rate, dropout_key, deterministic)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(compute_dtype), v)
+    out = out.reshape(B, Tq, D)
+    out = linear(params["out"], out, compute_dtype)
+    return out, new_cache
+
+
+def init_encoder_layer(key, d_model, ffn_dim):
+    ks = jax.random.split(key, 3)
+    return {
+        "self_attn": init_mha(ks[0], d_model),
+        "ffn": {
+            "lin1": init_linear(ks[1], d_model, ffn_dim),
+            "lin2": init_linear(ks[2], ffn_dim, d_model),
+        },
+        "norm1": init_layer_norm(d_model),
+        "norm2": init_layer_norm(d_model),
+    }
+
+
+def _ffn(params, x, rate, key, deterministic, compute_dtype):
+    h = linear(params["lin1"], x, compute_dtype)
+    h = jax.nn.relu(h)
+    h = dropout(h, rate, key, deterministic)
+    return linear(params["lin2"], h, compute_dtype)
+
+
+def encoder_layer(
+    params, x, num_heads, rate=0.0, rng=None, deterministic=True,
+    compute_dtype=jnp.float32,
+):
+    """Post-LN transformer encoder layer (self-attn + FFN)."""
+    keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    attn, _ = multi_head_attention(
+        params["self_attn"], x, x, num_heads,
+        dropout_rate=rate, dropout_key=keys[0], deterministic=deterministic,
+        compute_dtype=compute_dtype,
+    )
+    x = layer_norm(params["norm1"], x + dropout(attn, rate, keys[1], deterministic))
+    ff = _ffn(params["ffn"], x, rate, keys[2], deterministic, compute_dtype)
+    x = layer_norm(params["norm2"], x + dropout(ff, rate, keys[3], deterministic))
+    return x
+
+
+def init_decoder_layer(key, d_model, ffn_dim):
+    ks = jax.random.split(key, 4)
+    return {
+        "self_attn": init_mha(ks[0], d_model),
+        "cross_attn": init_mha(ks[1], d_model),
+        "ffn": {
+            "lin1": init_linear(ks[2], d_model, ffn_dim),
+            "lin2": init_linear(ks[3], ffn_dim, d_model),
+        },
+        "norm1": init_layer_norm(d_model),
+        "norm2": init_layer_norm(d_model),
+        "norm3": init_layer_norm(d_model),
+    }
+
+
+def decoder_layer(
+    params, x, memory, num_heads, causal_mask=None, rate=0.0, rng=None,
+    deterministic=True, compute_dtype=jnp.float32,
+    kv_cache=None, cache_index=None,
+):
+    """Post-LN transformer decoder layer (masked self-attn, cross-attn, FFN).
+
+    With `kv_cache` = {"self": {k,v}, "cross_k": ..., "cross_v": ...} the
+    layer runs one decode step: x is (B, 1, D), self-attn K/V append to the
+    cache and cross-attn uses precomputed memory projections.
+    Returns (output, new_self_cache_or_None).
+    """
+    keys = jax.random.split(rng, 6) if rng is not None else [None] * 6
+    self_cache = kv_cache["self"] if kv_cache is not None else None
+    attn, new_self_cache = multi_head_attention(
+        params["self_attn"], x, x, num_heads, attn_mask=causal_mask,
+        dropout_rate=rate, dropout_key=keys[0], deterministic=deterministic,
+        compute_dtype=compute_dtype, kv_cache=self_cache, cache_index=cache_index,
+    )
+    x = layer_norm(params["norm1"], x + dropout(attn, rate, keys[1], deterministic))
+    cross, _ = multi_head_attention(
+        params["cross_attn"], x, memory, num_heads,
+        dropout_rate=rate, dropout_key=keys[2], deterministic=deterministic,
+        compute_dtype=compute_dtype,
+    )
+    x = layer_norm(params["norm2"], x + dropout(cross, rate, keys[3], deterministic))
+    ff = _ffn(params["ffn"], x, rate, keys[4], deterministic, compute_dtype)
+    x = layer_norm(params["norm3"], x + dropout(ff, rate, keys[5], deterministic))
+    return x, new_self_cache
+
+
+def init_encoder_stack(key, num_layers, d_model, ffn_dim):
+    return {
+        "layers": [
+            init_encoder_layer(k, d_model, ffn_dim)
+            for k in jax.random.split(key, num_layers)
+        ]
+    }
+
+
+def encoder_stack(params, x, num_heads, rate=0.0, rng=None, deterministic=True,
+                  compute_dtype=jnp.float32):
+    for i, layer in enumerate(params["layers"]):
+        sub = jax.random.fold_in(rng, i) if rng is not None else None
+        x = encoder_layer(layer, x, num_heads, rate, sub, deterministic, compute_dtype)
+    return x
+
+
+def init_decoder_stack(key, num_layers, d_model, ffn_dim):
+    return {
+        "layers": [
+            init_decoder_layer(k, d_model, ffn_dim)
+            for k in jax.random.split(key, num_layers)
+        ]
+    }
+
+
+def decoder_stack(params, x, memory, num_heads, causal_mask=None, rate=0.0,
+                  rng=None, deterministic=True, compute_dtype=jnp.float32,
+                  kv_caches=None, cache_index=None):
+    """Run the decoder layers; returns (output, new_kv_caches_or_None)."""
+    new_caches = [] if kv_caches is not None else None
+    for i, layer in enumerate(params["layers"]):
+        sub = jax.random.fold_in(rng, i) if rng is not None else None
+        cache = kv_caches[i] if kv_caches is not None else None
+        x, new_self = decoder_layer(
+            layer, x, memory, num_heads, causal_mask, rate, sub, deterministic,
+            compute_dtype, kv_cache=cache, cache_index=cache_index,
+        )
+        if new_caches is not None:
+            new_caches.append({"self": new_self})
+    return x, new_caches
+
+
+def causal_mask(length: int) -> jnp.ndarray:
+    """(T, T) additive mask: 0 on/below the diagonal, -inf above."""
+    i = jnp.arange(length)[:, None]
+    j = jnp.arange(length)[None, :]
+    return jnp.where(j <= i, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+def sinusoidal_positions(max_len: int, d_model: int) -> np.ndarray:
+    """Standard sin/cos table (reference: geo-aware/models.py:184-209)."""
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * (-math.log(10000.0) / d_model)
+    )
+    table = np.zeros((max_len, d_model), dtype=np.float32)
+    table[:, 0::2] = np.sin(position * div)
+    table[:, 1::2] = np.cos(position * div[: table[:, 1::2].shape[1]])
+    return table

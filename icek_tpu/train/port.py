@@ -1,0 +1,137 @@
+"""Import reference PyTorch checkpoints into icek_tpu parameter trees.
+
+The reference saves whole pickled nn.Modules (geo-aware/utils.py:32-49):
+``{epoch, epochs_since_improvement, loss, encoder, decoder, *_optimizer}``.
+This module maps their state_dicts onto our pytrees so ported checkpoints
+evaluate bit-consistently.  It works from a plain ``{name: ndarray}`` dict so
+tests can also feed torch modules directly via ``state_dict()``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from icek_tpu.core.config import ModelConfig
+from icek_tpu.models import resnet
+
+
+def _np(x):
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def _linear(state, prefix):
+    return {
+        "w": jnp.asarray(_np(state[prefix + ".weight"]).T),
+        "b": jnp.asarray(_np(state[prefix + ".bias"])),
+    }
+
+
+def _norm(state, prefix):
+    return {
+        "scale": jnp.asarray(_np(state[prefix + ".weight"])),
+        "bias": jnp.asarray(_np(state[prefix + ".bias"])),
+    }
+
+
+def _mha(state, prefix):
+    return {
+        "qkv_w": jnp.asarray(_np(state[prefix + ".in_proj_weight"]).T),
+        "qkv_b": jnp.asarray(_np(state[prefix + ".in_proj_bias"])),
+        "out": _linear(state, prefix + ".out_proj"),
+    }
+
+
+def _encoder_stack(state, prefix, num_layers):
+    layers = []
+    for i in range(num_layers):
+        p = f"{prefix}.layers.{i}"
+        layers.append(
+            {
+                "self_attn": _mha(state, p + ".self_attn"),
+                "ffn": {
+                    "lin1": _linear(state, p + ".linear1"),
+                    "lin2": _linear(state, p + ".linear2"),
+                },
+                "norm1": _norm(state, p + ".norm1"),
+                "norm2": _norm(state, p + ".norm2"),
+            }
+        )
+    return {"layers": layers}
+
+
+def _decoder_stack(state, prefix, num_layers):
+    layers = []
+    for i in range(num_layers):
+        p = f"{prefix}.layers.{i}"
+        layers.append(
+            {
+                "self_attn": _mha(state, p + ".self_attn"),
+                "cross_attn": _mha(state, p + ".multihead_attn"),
+                "ffn": {
+                    "lin1": _linear(state, p + ".linear1"),
+                    "lin2": _linear(state, p + ".linear2"),
+                },
+                "norm1": _norm(state, p + ".norm1"),
+                "norm2": _norm(state, p + ".norm2"),
+                "norm3": _norm(state, p + ".norm3"),
+            }
+        )
+    return {"layers": layers}
+
+
+def import_captioner_state(state: Dict[str, "np.ndarray"], cfg: ModelConfig):
+    """Map a reference DecoderTransformer state_dict onto our params tree."""
+    params = {
+        "word_embedding": jnp.asarray(_np(state["word_embedding.weight"])),
+        "type_embedding": jnp.asarray(_np(state["entity_encoder.type_embedding.weight"])),
+        "ctx_encoder_entities": _encoder_stack(
+            state, "transformer_encoder_entities", cfg.num_layers
+        ),
+        "decoder": _decoder_stack(state, "transformer_decoder", cfg.num_layers),
+        "fc_vocab": _linear(state, "fc_vocab"),
+        "fc_entity": _linear(state, "fc_entity"),
+    }
+    if cfg.has_facts:
+        params.update(
+            {
+                "predicate_embedding": jnp.asarray(_np(state["predicate_embedding.weight"])),
+                "ctx_encoder_facts": _encoder_stack(
+                    state, "transformer_encoder_facts", cfg.num_layers
+                ),
+                "fc_fact": _linear(state, "fc_fact"),
+                "fc_predicate": _linear(state, "fc_predicate"),
+            }
+        )
+    return params
+
+
+def import_encoder_state(state: Dict[str, "np.ndarray"], emb_dim: int = 300):
+    """Map a reference Encoder (resnet + 1x1 conv) state_dict onto ours."""
+    return resnet.import_torch_state({k: _np(v) for k, v in state.items()}, emb_dim)
+
+
+def load_reference_checkpoint(path: str, cfg: ModelConfig):
+    """Load a reference ``.pth.tar`` (whole pickled modules) and return
+    ``(captioner_params, encoder_params, meta)``.
+
+    Requires torch; the pickled module classes must be importable, so the
+    reference subproject directory is temporarily added to ``sys.path``.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    decoder_state = ckpt["decoder"].state_dict()
+    encoder_state = ckpt["encoder"].state_dict()
+    meta = {
+        "epoch": ckpt.get("epoch"),
+        "epochs_since_improvement": ckpt.get("epochs_since_improvement"),
+        "loss": ckpt.get("loss"),
+    }
+    return (
+        import_captioner_state(decoder_state, cfg),
+        import_encoder_state(encoder_state, cfg.emb_dim),
+        meta,
+    )

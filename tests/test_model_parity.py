@@ -1,0 +1,277 @@
+"""Numerical parity of the JAX model against the reference PyTorch modules.
+
+The reference modules (mounted read-only) are the oracle: we build them with
+dropout disabled, copy their weights into our pytrees via the checkpoint
+porter, and compare forward outputs.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp
+from torch import nn
+
+from icek_tpu.core.config import ModelConfig
+from icek_tpu.models import captioner as cap
+from icek_tpu.models import transformer as tfm
+from icek_tpu.train import port
+
+from conftest import reference_subproject
+
+D, HEADS, LAYERS, FFN = 20, 2, 2, 32
+
+
+def small_cfg(variant):
+    feat = {"geo": 4, "knowledge": 6, "news": 5}[variant]
+    return ModelConfig(
+        variant=variant,
+        emb_dim=D,
+        decoder_ffn_dim=FFN,
+        encoder_ffn_dim=FFN,
+        num_heads=HEADS,
+        num_layers=LAYERS,
+        dropout_dec=0.0,
+        dropout_enc=0.0,
+        dropout_pos=0.0,
+        type_vocab=20 if variant == "news" else 50,
+        num_entity_feature_dims=feat,
+        num_predicates=0 if variant == "geo" else 40,
+        entity_name_embedding=variant == "news",
+    )
+
+
+def torch_seed(seed=0):
+    torch.manual_seed(seed)
+
+
+def test_encoder_layer_matches_torch(rng):
+    torch_seed()
+    layer = nn.TransformerEncoderLayer(D, HEADS, FFN, dropout=0.0).eval()
+    x = rng.standard_normal((3, 7, D)).astype(np.float32)
+    with torch.no_grad():
+        # torch layer is (T, B, D)
+        want = layer(torch.tensor(x).permute(1, 0, 2)).permute(1, 0, 2).numpy()
+    state = {k: v for k, v in layer.state_dict().items()}
+    params = port._encoder_stack(
+        {"l.layers.0." + k: v for k, v in state.items()}, "l", 1
+    )["layers"][0]
+    got = tfm.encoder_layer(params, jnp.asarray(x), HEADS)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_decoder_layer_matches_torch(rng):
+    torch_seed(1)
+    layer = nn.TransformerDecoderLayer(D, HEADS, FFN, dropout=0.0).eval()
+    x = rng.standard_normal((2, 5, D)).astype(np.float32)
+    mem = rng.standard_normal((2, 9, D)).astype(np.float32)
+    mask_t = torch.triu(torch.full((5, 5), float("-inf")), diagonal=1)
+    with torch.no_grad():
+        want = (
+            layer(
+                torch.tensor(x).permute(1, 0, 2),
+                torch.tensor(mem).permute(1, 0, 2),
+                tgt_mask=mask_t,
+            )
+            .permute(1, 0, 2)
+            .numpy()
+        )
+    params = port._decoder_stack(
+        {"l.layers.0." + k: v for k, v in layer.state_dict().items()}, "l", 1
+    )["layers"][0]
+    got, _ = tfm.decoder_layer(
+        params, jnp.asarray(x), jnp.asarray(mem), HEADS,
+        causal_mask=tfm.causal_mask(5),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def _toy_wordmap(n_words=25):
+    words = [f"w{i}" for i in range(n_words)]
+    wm = {w: i + 1 for i, w in enumerate(words)}
+    wm["<unk>"] = len(wm) + 1
+    wm["<start>"] = len(wm) + 1
+    wm["<end>"] = len(wm) + 1
+    wm["<pad>"] = 0
+    return wm
+
+
+def _geo_entities(rng, B, E):
+    ents = np.zeros((B, E, 5), dtype=np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 1] = rng.uniform(0, 1, (B, E))
+    ents[:, :, 2] = rng.uniform(-179, 179, (B, E))
+    ents[:, :, 3] = rng.uniform(0, 0.1, (B, E))
+    ents[:, :, 4] = rng.integers(0, 20, (B, E))
+    return ents
+
+
+def _facts(rng, B, F, E, P):
+    facts = np.zeros((B, F, 3), dtype=np.float32)
+    facts[:, :, 0] = np.arange(F)
+    facts[:, :, 1] = rng.integers(0, E, (B, F))
+    facts[:, :, 2] = rng.integers(0, P, (B, F))
+    facts[:, -1, 1] = E - 1  # dummy fact points at <unk_ent>
+    return facts
+
+
+def _captions(rng, wm, B, T, E, F=0):
+    V = len(wm)
+    ids = rng.integers(1, V - 3, (B, T))
+    mask = np.zeros((B, T), dtype=np.int64)
+    ids[:, 0] = wm["<start>"]
+    # sprinkle entity + fact tokens
+    for b in range(B):
+        ids[b, 2] = V + rng.integers(0, E)
+        mask[b, 2] = 1
+        if F:
+            ids[b, 4] = V + E + rng.integers(0, F)
+            mask[b, 4] = 2
+    ids[:, -1] = wm["<end>"]
+    return ids.astype(np.int64), mask
+
+
+@pytest.mark.parametrize("variant", ["geo", "knowledge", "news"])
+def test_captioner_forward_parity(rng, variant):
+    subproject = {
+        "geo": "geo-aware",
+        "knowledge": "knowledge-aware",
+        "news": "news-knowledge-aware",
+    }[variant]
+    ref_models, _ = reference_subproject(subproject)
+    torch_seed(2)
+    wm = _toy_wordmap()
+    V = len(wm)
+    cfg = small_cfg(variant)
+    B, T, E, F, P = 3, 9, 7, 6, cfg.num_predicates
+
+    ref = ref_models.DecoderTransformer(
+        word_map=wm, emb_dim=D, decoder_dim=FFN, encoder_dim=FFN,
+        num_heads=HEADS, num_layers=LAYERS,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    ).eval()
+    # shrink the reference's fixed-size tables to the toy config
+    ref.entity_encoder.type_embedding = nn.Embedding(cfg.type_vocab, cfg.type_emb_dim)
+    if variant != "geo":
+        ref.num_predicates = P
+        ref.predicate_embedding = nn.Embedding(P, D)
+        ref.fact_encoder.predicate_embedding = ref.predicate_embedding
+        ref.fc_predicate = nn.Linear(P, D)
+    ref.eval()
+
+    params = port.import_captioner_state(ref.state_dict(), cfg)
+
+    img = rng.standard_normal((B, 4, D)).astype(np.float32)
+    ents = _geo_entities(rng, B, E)
+    if variant == "news":
+        name_ids = rng.integers(0, V, (B, E, 5)).astype(np.float32)
+        ents = np.concatenate([ents, name_ids], axis=-1)
+    caps, cap_mask = _captions(rng, wm, B, T, E, F if variant != "geo" else 0)
+    lengths = np.array([[T], [T - 1], [T - 2]])  # distinct, descending: sort is identity
+
+    with torch.no_grad():
+        if variant == "geo":
+            want, _, _ = ref(
+                torch.tensor(caps),
+                torch.tensor(img).permute(0, 2, 1),
+                torch.tensor(cap_mask),
+                torch.tensor(lengths),
+                torch.tensor(ents),
+            )
+        else:
+            facts = _facts(rng, B, F, E, P)
+            # torch>=2 rejects the float fact indices the reference relied on
+            # under torch 1.9 — feed the oracle int64 facts (same values).
+            want, _, _ = ref(
+                torch.tensor(caps),
+                torch.tensor(img).permute(0, 2, 1),
+                torch.tensor(cap_mask),
+                torch.tensor(lengths),
+                torch.tensor(ents),
+                torch.tensor(facts.astype(np.int64)),
+            )
+    got = cap.captioner_forward(
+        params, cfg, V, wm["<pad>"],
+        jnp.asarray(caps), jnp.asarray(cap_mask), jnp.asarray(img),
+        jnp.asarray(ents),
+        jnp.asarray(facts) if variant != "geo" else None,
+    )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-4)
+
+
+class TorchBottleneck(nn.Module):
+    """torchvision-style bottleneck, built locally for the parity oracle."""
+
+    def __init__(self, cin, width, stride, downsample):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, width * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(width * 4)
+        self.downsample = None
+        if downsample:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, width * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(width * 4),
+            )
+
+    def forward(self, x):
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = torch.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        shortcut = self.downsample(x) if self.downsample is not None else x
+        return torch.relu(out + shortcut)
+
+
+def test_resnet_primitives_match_torch(rng):
+    """conv stem + maxpool + bottleneck + adaptive pool vs a torch oracle."""
+    from icek_tpu.models import resnet as rn
+
+    torch_seed(3)
+    stem_conv = nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+    stem_bn = nn.BatchNorm2d(8).eval()
+    stem_bn.running_mean.normal_()
+    stem_bn.running_var.uniform_(0.5, 2.0)
+    block = TorchBottleneck(8, 4, 2, downsample=True).eval()
+    for bn_mod in [block.bn1, block.bn2, block.bn3, block.downsample[1]]:
+        bn_mod.running_mean.normal_()
+        bn_mod.running_var.uniform_(0.5, 2.0)
+
+    x = rng.standard_normal((2, 33, 33, 3)).astype(np.float32)
+    with torch.no_grad():
+        t = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        feats = torch.relu(stem_bn(stem_conv(t)))
+        feats = nn.MaxPool2d(3, stride=2, padding=1)(feats)
+        feats = block(feats)
+        pooled = nn.AdaptiveAvgPool2d((5, 5))(feats)
+        want = pooled.permute(0, 2, 3, 1).numpy()
+
+    def t_conv(mod):
+        return jnp.asarray(mod.weight.detach().numpy().transpose(2, 3, 1, 0))
+
+    def t_bn(mod):
+        return {
+            "scale": jnp.asarray(mod.weight.detach().numpy()),
+            "bias": jnp.asarray(mod.bias.detach().numpy()),
+            "mean": jnp.asarray(mod.running_mean.numpy()),
+            "var": jnp.asarray(mod.running_var.numpy()),
+        }
+
+    j = rn.conv(jnp.asarray(x), t_conv(stem_conv), stride=2)
+    j, _ = rn.batch_norm(t_bn(stem_bn), j)
+    j = jax.nn.relu(j)
+    j = rn.max_pool_3x3_s2(j)
+    block_params = {
+        "conv1": t_conv(block.conv1), "bn1": t_bn(block.bn1),
+        "conv2": t_conv(block.conv2), "bn2": t_bn(block.bn2),
+        "conv3": t_conv(block.conv3), "bn3": t_bn(block.bn3),
+        "stride": 2,
+        "down_conv": t_conv(block.downsample[0]),
+        "down_bn": t_bn(block.downsample[1]),
+    }
+    j = rn.bottleneck(block_params, j)
+    j = rn.adaptive_avg_pool(j, (5, 5))
+    np.testing.assert_allclose(np.asarray(j), want, atol=1e-4)
