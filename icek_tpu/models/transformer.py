@@ -91,6 +91,7 @@ def multi_head_attention(
     compute_dtype=jnp.float32,
     kv_cache: Optional[dict] = None,
     cache_index: Optional[jnp.ndarray] = None,
+    precomputed_kv: Optional[dict] = None,
 ):
     """Fused-projection MHA matching torch semantics.
 
@@ -98,6 +99,8 @@ def multi_head_attention(
     `cache_index`, the freshly projected K/V rows for the (single-step) input
     are written at `cache_index` and attention runs over the cache prefix —
     the on-device autoregressive decode path.
+    With `precomputed_kv` (dict with "k"/"v" of shape (B, Tk, H, Hd)) the
+    projections of a static memory are reused (cross-attention decode path).
     Returns (output, updated_cache_or_None).
     """
     B, Tq, D = q_in.shape
@@ -106,15 +109,15 @@ def multi_head_attention(
     w = params["qkv_w"].astype(compute_dtype)
     b = params["qkv_b"].astype(compute_dtype)
     q = q_in.astype(compute_dtype) @ w[:, :D] + b[:D]
-    if kv_in is q_in:
-        kv_proj = q_in.astype(compute_dtype) @ w[:, D:] + b[D:]
+    q = q.reshape(B, Tq, H, Hd)
+    if precomputed_kv is not None:
+        k = precomputed_kv["k"].astype(compute_dtype)
+        v = precomputed_kv["v"].astype(compute_dtype)
     else:
         kv_proj = kv_in.astype(compute_dtype) @ w[:, D:] + b[D:]
-    k, v = jnp.split(kv_proj, 2, axis=-1)
-
-    q = q.reshape(B, Tq, H, Hd)
-    k = k.reshape(B, -1, H, Hd)
-    v = v.reshape(B, -1, H, Hd)
+        k, v = jnp.split(kv_proj, 2, axis=-1)
+        k = k.reshape(B, -1, H, Hd)
+        v = v.reshape(B, -1, H, Hd)
 
     new_cache = None
     if kv_cache is not None:
@@ -202,13 +205,13 @@ def init_decoder_layer(key, d_model, ffn_dim):
 def decoder_layer(
     params, x, memory, num_heads, causal_mask=None, rate=0.0, rng=None,
     deterministic=True, compute_dtype=jnp.float32,
-    kv_cache=None, cache_index=None,
+    kv_cache=None, cache_index=None, cross_kv=None,
 ):
     """Post-LN transformer decoder layer (masked self-attn, cross-attn, FFN).
 
-    With `kv_cache` = {"self": {k,v}, "cross_k": ..., "cross_v": ...} the
-    layer runs one decode step: x is (B, 1, D), self-attn K/V append to the
-    cache and cross-attn uses precomputed memory projections.
+    With `kv_cache` = {"self": {k,v}} the layer runs one decode step: x is
+    (B, 1, D), self-attn K/V append to the cache; `cross_kv` supplies the
+    precomputed memory projections.
     Returns (output, new_self_cache_or_None).
     """
     keys = jax.random.split(rng, 6) if rng is not None else [None] * 6
@@ -222,7 +225,7 @@ def decoder_layer(
     cross, _ = multi_head_attention(
         params["cross_attn"], x, memory, num_heads,
         dropout_rate=rate, dropout_key=keys[2], deterministic=deterministic,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, precomputed_kv=cross_kv,
     )
     x = layer_norm(params["norm2"], x + dropout(cross, rate, keys[3], deterministic))
     ff = _ffn(params["ffn"], x, rate, keys[4], deterministic, compute_dtype)
@@ -258,19 +261,51 @@ def init_decoder_stack(key, num_layers, d_model, ffn_dim):
 
 def decoder_stack(params, x, memory, num_heads, causal_mask=None, rate=0.0,
                   rng=None, deterministic=True, compute_dtype=jnp.float32,
-                  kv_caches=None, cache_index=None):
+                  kv_caches=None, cache_index=None, cross_kvs=None):
     """Run the decoder layers; returns (output, new_kv_caches_or_None)."""
     new_caches = [] if kv_caches is not None else None
     for i, layer in enumerate(params["layers"]):
         sub = jax.random.fold_in(rng, i) if rng is not None else None
         cache = kv_caches[i] if kv_caches is not None else None
+        cross = cross_kvs[i] if cross_kvs is not None else None
         x, new_self = decoder_layer(
             layer, x, memory, num_heads, causal_mask, rate, sub, deterministic,
-            compute_dtype, kv_cache=cache, cache_index=cache_index,
+            compute_dtype, kv_cache=cache, cache_index=cache_index, cross_kv=cross,
         )
         if new_caches is not None:
             new_caches.append({"self": new_self})
     return x, new_caches
+
+
+def precompute_cross_kv(params, memory, num_heads, compute_dtype=jnp.float32):
+    """Project a static memory through every decoder layer's cross-attention
+    K/V once, so the per-step decode never re-touches the memory matmuls."""
+    B, M, D = memory.shape
+    H = num_heads
+    out = []
+    for layer in params["layers"]:
+        w = layer["cross_attn"]["qkv_w"].astype(compute_dtype)
+        b = layer["cross_attn"]["qkv_b"].astype(compute_dtype)
+        kv = memory.astype(compute_dtype) @ w[:, D:] + b[D:]
+        k, v = jnp.split(kv, 2, axis=-1)
+        out.append(
+            {"k": k.reshape(B, M, H, D // H), "v": v.reshape(B, M, H, D // H)}
+        )
+    return out
+
+
+def init_self_kv_cache(num_layers, batch, max_len, num_heads, head_dim,
+                       dtype=jnp.float32):
+    """Zeroed per-layer self-attention KV buffers for the decode scan."""
+    return [
+        {
+            "self": {
+                "k": jnp.zeros((batch, max_len, num_heads, head_dim), dtype),
+                "v": jnp.zeros((batch, max_len, num_heads, head_dim), dtype),
+            }
+        }
+        for _ in range(num_layers)
+    ]
 
 
 def causal_mask(length: int) -> jnp.ndarray:

@@ -1,0 +1,115 @@
+"""Greedy-decode parity vs the reference `DecoderTransformer.predict` loop,
+including <end> stopping and the n-gram repetition cleanup."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp
+from torch import nn
+
+from icek_tpu.decode import greedy
+from icek_tpu.train import port
+
+from conftest import reference_subproject
+from test_model_parity import (
+    D, FFN, HEADS, LAYERS, _facts, _geo_entities, _toy_wordmap, small_cfg,
+    torch_seed,
+)
+
+
+@pytest.mark.parametrize("variant", ["geo", "knowledge"])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_greedy_matches_reference_predict(rng, variant, seed):
+    subproject = {"geo": "geo-aware", "knowledge": "knowledge-aware"}[variant]
+    ref_models, _ = reference_subproject(subproject)
+    torch_seed(10 + seed)
+    wm = _toy_wordmap()
+    V = len(wm)
+    cfg = small_cfg(variant)
+    E, F, P = 7, 6, cfg.num_predicates
+    max_len = 12
+    local_rng = np.random.default_rng(seed)
+
+    ref = ref_models.DecoderTransformer(
+        word_map=wm, emb_dim=D, decoder_dim=FFN, encoder_dim=FFN,
+        num_heads=HEADS, num_layers=LAYERS,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    ).eval()
+    ref.entity_encoder.type_embedding = nn.Embedding(cfg.type_vocab, cfg.type_emb_dim)
+    if variant != "geo":
+        ref.num_predicates = P
+        ref.predicate_embedding = nn.Embedding(P, D)
+        ref.fact_encoder.predicate_embedding = ref.predicate_embedding
+        ref.fc_predicate = nn.Linear(P, D)
+    ref.eval()
+    params = port.import_captioner_state(ref.state_dict(), cfg)
+
+    img = local_rng.standard_normal((1, 4, D)).astype(np.float32)
+    ents = _geo_entities(local_rng, 1, E)
+    facts = _facts(local_rng, 1, F, E, P) if variant != "geo" else None
+
+    with torch.no_grad():
+        if variant == "geo":
+            want = ref.predict(
+                torch.tensor(img).permute(0, 2, 1), max_len, torch.tensor(ents)
+            )
+        else:
+            want = ref.predict(
+                torch.tensor(img).permute(0, 2, 1), max_len,
+                torch.tensor(ents), torch.tensor(facts.astype(np.int64)),
+            )
+    want = want.numpy()[:, 0]  # (max_len,) — reference returns (L, B)
+
+    ctx = greedy.prepare_decode_context(
+        params, cfg, jnp.asarray(img), jnp.asarray(ents),
+        jnp.asarray(facts) if facts is not None else None,
+    )
+    got = greedy.greedy_decode(
+        params, cfg, V, E, wm["<start>"], wm["<end>"], wm["<pad>"],
+        ctx, max_len,
+    )
+    np.testing.assert_array_equal(np.asarray(got)[0], want)
+
+
+def test_greedy_batched_matches_single(rng):
+    """Batched decode must equal per-image decode (padding independence)."""
+    ref_models, _ = reference_subproject("geo-aware")
+    torch_seed(42)
+    wm = _toy_wordmap()
+    V = len(wm)
+    cfg = small_cfg("geo")
+    E, max_len, B = 7, 10, 4
+
+    ref = ref_models.DecoderTransformer(
+        word_map=wm, emb_dim=D, decoder_dim=FFN, encoder_dim=FFN,
+        num_heads=HEADS, num_layers=LAYERS,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    ).eval()
+    ref.entity_encoder.type_embedding = nn.Embedding(cfg.type_vocab, cfg.type_emb_dim)
+    params = port.import_captioner_state(ref.state_dict(), cfg)
+
+    img = rng.standard_normal((B, 4, D)).astype(np.float32)
+    ents = _geo_entities(rng, B, E)
+
+    ctx_all = greedy.prepare_decode_context(
+        params, cfg, jnp.asarray(img), jnp.asarray(ents)
+    )
+    batched = np.asarray(
+        greedy.greedy_decode(
+            params, cfg, V, E, wm["<start>"], wm["<end>"], wm["<pad>"],
+            ctx_all, max_len,
+        )
+    )
+    for b in range(B):
+        ctx_b = greedy.prepare_decode_context(
+            params, cfg, jnp.asarray(img[b : b + 1]), jnp.asarray(ents[b : b + 1])
+        )
+        single = np.asarray(
+            greedy.greedy_decode(
+                params, cfg, V, E, wm["<start>"], wm["<end>"], wm["<pad>"],
+                ctx_b, max_len,
+            )
+        )
+        np.testing.assert_array_equal(batched[b], single[0])
