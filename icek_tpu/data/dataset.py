@@ -1,0 +1,150 @@
+"""Data loading: reference-protocol files -> static-shape device batches.
+
+Replaces the reference's torch ``CaptionDataset`` + ``DataLoader``
+(geo-aware/datasets.py:9-57) with a numpy-backed loader that
+
+  * memory-maps the HDF5 image store and materializes the (small) caption /
+    context sidecars as contiguous arrays once,
+  * yields fixed-shape batches (partial batches are padded with zero-length
+    rows that the masked loss ignores — no dynamic shapes ever reach XLA),
+  * optionally runs the frozen image encoder once and caches the 196-token
+    image features, so training epochs never re-run ResNet on TPU
+    (the reference recomputes it every batch: train.py:269),
+  * prefetches the next batch to device while the current step runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from icek_tpu.data import images as image_ops
+
+
+class CaptionArrays:
+    """All non-image data for one split, as padded numpy arrays."""
+
+    def __init__(self, data_dir: str, base_name: str, split: str,
+                 has_facts: bool):
+        def jload(kind):
+            with open(os.path.join(data_dir, f"{split}_{kind}_{base_name}.json")) as f:
+                return json.load(f)
+
+        def pload(kind):
+            with open(
+                os.path.join(data_dir, f"{split}_{kind}_{base_name}.pkl"), "rb"
+            ) as f:
+                return pickle.load(f)
+
+        self.caption_ids = np.asarray(jload("CAPTIONS"), dtype=np.int32)
+        self.lengths = np.asarray(jload("CAPLENS"), dtype=np.int32)
+        self.caption_mask = np.asarray(jload("CAPMASKS"), dtype=np.int32)
+        self.entity_features = np.asarray(pload("ENT_FEATURES"), dtype=np.float32)
+        self.entity_names = np.asarray(pload("ENT_NAMES"), dtype=np.int32)
+        self.fact_features = None
+        self.fact_names = None
+        if has_facts:
+            self.fact_features = np.asarray(pload("FACTS"), dtype=np.float32)
+            self.fact_names = np.asarray(pload("FACT_NAMES"), dtype=np.int32)
+        self.size = len(self.caption_ids)
+
+
+class CaptionDataset:
+    """One split: images (HDF5) + caption/context arrays."""
+
+    def __init__(self, data_dir: str, base_name: str, split: str,
+                 has_facts: bool = False):
+        import h5py
+
+        self.split = split
+        self.arrays = CaptionArrays(data_dir, base_name, split, has_facts)
+        self._h5 = h5py.File(
+            os.path.join(data_dir, f"{split}_IMAGES_{base_name}.hdf5"), "r"
+        )
+        self._images = self._h5["images"]
+        self.image_tokens: Optional[np.ndarray] = None  # filled by cache step
+
+    def __len__(self):
+        return self.arrays.size
+
+    def image_batch(self, idx: np.ndarray) -> np.ndarray:
+        """Model-ready normalized NHWC images for the given indices."""
+        # h5py requires sorted unique indices for fancy indexing
+        order = np.argsort(idx, kind="stable")
+        sorted_idx = idx[order]
+        raw = self._images[sorted_idx.tolist()]
+        out = np.empty_like(raw)
+        out[order] = raw
+        return image_ops.normalize_for_model(out)
+
+    def cache_image_tokens(self, encode_fn, batch_size: int = 32):
+        """Run the frozen encoder over the whole split once; afterwards
+        batches carry (196, D) token features instead of raw images."""
+        chunks = []
+        for start in range(0, len(self), batch_size):
+            idx = np.arange(start, min(start + batch_size, len(self)))
+            chunks.append(np.asarray(encode_fn(self.image_batch(idx))))
+        self.image_tokens = np.concatenate(chunks, axis=0)
+
+    def batch(self, idx: np.ndarray, with_images: bool = True) -> Dict[str, np.ndarray]:
+        a = self.arrays
+        pad = idx < 0                             # -1 marks padding rows
+        safe = np.where(pad, 0, idx)
+        out = {
+            "caption_ids": a.caption_ids[safe],
+            "caption_mask": a.caption_mask[safe],
+            "lengths": np.where(pad, 0, a.lengths[safe]),
+            "entity_features": a.entity_features[safe],
+        }
+        if a.fact_features is not None:
+            out["fact_features"] = a.fact_features[safe]
+        if with_images:
+            if self.image_tokens is not None:
+                out["image_tokens"] = self.image_tokens[safe]
+            else:
+                out["images"] = self.image_batch(safe)
+        return out
+
+
+def batch_indices(
+    n: int, batch_size: int, shuffle: bool, seed: int = 0, pad_partial: bool = True
+) -> Iterator[np.ndarray]:
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        if len(idx) < batch_size:
+            if not pad_partial:
+                return
+            idx = np.concatenate([idx, np.full(batch_size - len(idx), -1)])
+        yield idx
+
+
+def prefetch(iterator, put_fn, depth: int = 2):
+    """Run `put_fn` (e.g. device transfer) on a background thread, keeping
+    `depth` batches in flight — the data/compute overlap the reference gets
+    from DataLoader workers (train.py:142-165), minus the processes."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(put_fn(item))
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -125,7 +125,6 @@ def init_bottleneck(key, cin, width, stride, with_downsample):
         "bn2": init_bn(width),
         "conv3": init_conv(ks[2], 1, 1, width, width * EXPANSION),
         "bn3": init_bn(width * EXPANSION),
-        "stride": stride,
     }
     if with_downsample:
         block["down_conv"] = init_conv(ks[3], 1, 1, cin, width * EXPANSION)
@@ -133,8 +132,7 @@ def init_bottleneck(key, cin, width, stride, with_downsample):
     return block
 
 
-def bottleneck(block, x, train=False, compute_dtype=jnp.float32):
-    stride = block["stride"]
+def bottleneck(block, x, stride=1, train=False, compute_dtype=jnp.float32):
     out, _ = batch_norm(block["bn1"], conv(x, block["conv1"], 1, compute_dtype), train)
     out = jax.nn.relu(out)
     out, _ = batch_norm(block["bn2"], conv(out, block["conv2"], stride, compute_dtype), train)
@@ -145,7 +143,7 @@ def bottleneck(block, x, train=False, compute_dtype=jnp.float32):
             block["down_bn"], conv(x, block["down_conv"], stride, compute_dtype), train
         )
     else:
-        shortcut = out.dtype.type(1) * x.astype(out.dtype)
+        shortcut = x.astype(out.dtype)
     return jax.nn.relu(out + shortcut)
 
 
@@ -190,8 +188,9 @@ def resnet_encode(
     x = jax.nn.relu(x)
     x = max_pool_3x3_s2(x)
     for stage in range(1, 5):
-        for block in params[f"layer{stage}"]:
-            x = bottleneck(block, x, train, compute_dtype)
+        for b, block in enumerate(params[f"layer{stage}"]):
+            stride = 2 if (stage > 1 and b == 0) else 1
+            x = bottleneck(block, x, stride, train, compute_dtype)
     x = adaptive_avg_pool(x, (encoded_size, encoded_size))
     x = conv(x, params["proj"]["w"], 1, compute_dtype) + params["proj"]["b"].astype(
         compute_dtype
@@ -252,7 +251,6 @@ def import_torch_state(state: dict, emb_dim: int = 300):
                 "bn2": bn(p + ".bn2"),
                 "conv3": conv_w(p + ".conv3.weight"),
                 "bn3": bn(p + ".bn3"),
-                "stride": 2 if (stage > 1 and b == 0) else 1,
             }
             if p + ".downsample.0.weight" in state:
                 block["down_conv"] = conv_w(p + ".downsample.0.weight")

@@ -1,0 +1,116 @@
+"""Checkpoint save/restore with the reference's filename + rotation protocol.
+
+Reference semantics (geo-aware/utils.py:8-49): every epoch saves
+``checkpoint_{base}.pth.tar`` (odd epochs, rolling) or
+``checkpoint_{epoch}_{base}.pth.tar`` (even epochs, kept), and the best
+checkpoint (by val loss) gets a ``BEST_`` copy.  We keep the same naming
+with ``.msgpack`` payloads: flattened param/opt pytrees serialized with
+flax.serialization, plus a JSON-serializable meta dict
+(epoch / epochs_since_improvement / loss), enabling auto-resume.
+
+``icek_tpu.train.port`` imports the reference's torch ``.pth.tar`` into
+these trees for parity evaluation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    directory: str,
+    base_name: str,
+    epoch: int,
+    epochs_since_improvement: int,
+    loss: float,
+    params: Any,
+    opt_state: Any,
+    encoder_params: Any = None,
+    is_best: bool = False,
+) -> str:
+    os.makedirs(directory, exist_ok=True)
+    # optimizer states are (named)tuples — store leaves and rebuild against a
+    # template treedef at load time
+    opt_leaves = (
+        [np.asarray(x) for x in jax.tree.leaves(opt_state)]
+        if opt_state is not None
+        else []
+    )
+    payload = {
+        "meta": json.dumps(
+            {
+                "epoch": epoch,
+                "epochs_since_improvement": epochs_since_improvement,
+                "loss": float(loss),
+            }
+        ),
+        "params": _to_numpy(params),
+        "opt_leaves": opt_leaves,
+        "encoder_params": _to_numpy(encoder_params)
+        if encoder_params is not None
+        else {},
+    }
+    blob = serialization.msgpack_serialize(payload)
+    if epoch % 2 == 0:
+        filename = f"checkpoint_{epoch}_{base_name}.msgpack"
+    else:
+        filename = f"checkpoint_{base_name}.msgpack"
+    path = os.path.join(directory, filename)
+    with open(path, "wb") as f:
+        f.write(blob)
+    if is_best:
+        with open(os.path.join(directory, "BEST_" + filename), "wb") as f:
+            f.write(blob)
+    return path
+
+
+def load_checkpoint(path: str, opt_state_template: Any = None) -> Tuple[Any, Any, Any, Dict]:
+    """Restore (params, opt_state, encoder_params, meta).
+
+    `opt_state_template` (e.g. ``optimizer.init(params)``) supplies the
+    treedef for rebuilding the optimizer state from its stored leaves.
+    """
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    meta = json.loads(payload["meta"])
+    opt_state = None
+    leaves = payload.get("opt_leaves", [])
+    if opt_state_template is not None and len(leaves):
+        treedef = jax.tree.structure(opt_state_template)
+        opt_state = jax.tree.unflatten(treedef, list(leaves))
+    return (
+        payload["params"],
+        opt_state,
+        payload["encoder_params"] or None,
+        meta,
+    )
+
+
+def latest_checkpoint(directory: str, base_name: str) -> Optional[str]:
+    """Most recent checkpoint for auto-resume (rolling file wins ties by
+    epoch recorded in meta)."""
+    if not os.path.isdir(directory):
+        return None
+    best_path, best_epoch = None, -1
+    for name in os.listdir(directory):
+        if not name.endswith(f"{base_name}.msgpack") or name.startswith("BEST_"):
+            continue
+        path = os.path.join(directory, name)
+        try:
+            _, _, _, meta = load_checkpoint(path)
+        except Exception:
+            continue
+        if meta["epoch"] > best_epoch:
+            best_epoch = meta["epoch"]
+            best_path = path
+    return best_path

@@ -1,0 +1,189 @@
+"""Training driver: epoch loop with the reference's plateau-decay and
+early-stop policy (geo-aware/train.py:57-220), TPU-native internals.
+
+Differences from the reference by design:
+  * the frozen image encoder runs ONCE per split (token cache) instead of
+    every batch — the default config never trains it (train.py:52);
+  * batches are static-shape with masked padding, prefetched to device;
+  * AverageMeter-style batch/data timing stats are preserved in the logs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icek_tpu.core.config import Config
+from icek_tpu.data import dataset as ds
+from icek_tpu.models import captioner, resnet
+from icek_tpu.train import checkpoint as ckpt
+from icek_tpu.train import step as step_lib
+
+
+class Meter:
+    """Running value/avg tracker (the reference's AverageMeter,
+    geo-aware/utils.py:51-68)."""
+
+    def __init__(self):
+        self.val = self.sum = self.count = 0.0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / max(self.count, 1)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    best_loss: float
+    epochs_run: int
+    params: dict
+    encoder_params: dict
+
+
+def run_epoch(
+    train_step, params, opt_state, encoder_params, data: ds.CaptionDataset,
+    batch_size: int, rng_key, epoch: int, print_freq: int = 100,
+    log: Callable[[str], None] = print,
+):
+    batch_time, data_time, losses = Meter(), Meter(), Meter()
+    start = time.time()
+    n_batches = -(-len(data) // batch_size)
+    batches = ds.prefetch(
+        ds.batch_indices(len(data), batch_size, shuffle=True, seed=epoch),
+        lambda idx: data.batch(idx),
+    )
+    for i, batch in enumerate(batches):
+        data_time.update(time.time() - start)
+        step_rng = jax.random.fold_in(rng_key, i)
+        params, opt_state, loss, count = train_step(
+            params, opt_state, encoder_params, batch, step_rng
+        )
+        loss = float(loss)
+        losses.update(loss, int(count))
+        batch_time.update(time.time() - start)
+        start = time.time()
+        if i % print_freq == 0:
+            log(
+                f"Epoch: [{epoch}][{i}/{n_batches}]\t"
+                f"Batch Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
+                f"Data Load Time {data_time.val:.3f} ({data_time.avg:.3f})\t"
+                f"Loss {loss:.4f} ({losses.avg:.4f})"
+            )
+    return params, opt_state, losses.avg
+
+
+def run_validation(
+    eval_step, params, encoder_params, data: ds.CaptionDataset,
+    batch_size: int, print_freq: int = 100, log: Callable[[str], None] = print,
+):
+    losses = Meter()
+    n_batches = -(-len(data) // batch_size)
+    batches = ds.prefetch(
+        ds.batch_indices(len(data), batch_size, shuffle=False),
+        lambda idx: data.batch(idx),
+    )
+    for i, batch in enumerate(batches):
+        loss, count = eval_step(params, encoder_params, batch)
+        losses.update(float(loss), int(count))
+        if i % print_freq == 0:
+            log(f"Validation: [{i}/{n_batches}]\tLoss {float(loss):.4f} ({losses.avg:.4f})")
+    return losses.avg
+
+
+def train(
+    cfg: Config,
+    data_dir: str,
+    vocab_size: int,
+    pad_id: int,
+    checkpoint_dir: str = ".",
+    pretrained_embeddings: Optional[np.ndarray] = None,
+    resume_from: Optional[str] = None,
+    max_epochs: Optional[int] = None,
+    log: Callable[[str], None] = print,
+) -> TrainResult:
+    """Full training run for one preset; returns the best params."""
+    tc = cfg.train
+    has_facts = cfg.model.has_facts
+    train_data = ds.CaptionDataset(data_dir, cfg.data.base_name, "TRAIN", has_facts)
+    val_data = ds.CaptionDataset(data_dir, cfg.data.base_name, "VAL", has_facts)
+
+    key = jax.random.PRNGKey(tc.seed)
+    k_model, k_enc, k_train = jax.random.split(key, 3)
+    params = captioner.init_captioner_params(k_model, cfg.model, vocab_size)
+    if pretrained_embeddings is not None:
+        params["word_embedding"] = jnp.asarray(pretrained_embeddings)
+    encoder_params = resnet.init_resnet101(k_enc, cfg.model.emb_dim)
+
+    optimizer = step_lib.make_optimizer(tc.decoder_lr, tc.grad_clip)
+    opt_state = optimizer.init(params)
+
+    start_epoch, stale, best_loss = 0, 0, float("inf")
+    if resume_from:
+        params, restored_opt, enc, meta = ckpt.load_checkpoint(resume_from, opt_state)
+        if restored_opt is not None:
+            opt_state = restored_opt
+        if enc is not None:
+            encoder_params = enc
+        start_epoch = meta["epoch"] + 1
+        stale = meta["epochs_since_improvement"]
+        best_loss = meta["loss"]
+        log(f"Resumed from {resume_from} at epoch {start_epoch}")
+
+    # Cache frozen-encoder image tokens once per split.
+    compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    if not tc.fine_tune_encoder:
+        encode = jax.jit(
+            lambda imgs: resnet.resnet_encode(
+                encoder_params, imgs, cfg.model.encoded_image_size,
+                compute_dtype=compute_dtype,
+            )
+        )
+        for split_data in (train_data, val_data):
+            split_data.cache_image_tokens(lambda x: encode(jnp.asarray(x)))
+
+    train_step, eval_step = step_lib.make_train_step(
+        cfg, vocab_size, pad_id, optimizer,
+        compute_dtype=compute_dtype,
+        encode_images=tc.fine_tune_encoder,
+    )
+
+    epochs = max_epochs if max_epochs is not None else tc.epochs
+    epoch = start_epoch
+    for epoch in range(start_epoch, epochs):
+        if stale == tc.max_epochs_since_improvement:
+            break
+        if stale > 0 and stale % tc.lr_decay_every == 0:
+            opt_state = step_lib.decay_learning_rate(opt_state, tc.lr_decay_factor)
+            log(
+                "DECAYING learning rate to "
+                f"{float(opt_state.hyperparams['learning_rate']):.6f}"
+            )
+        params, opt_state, _ = run_epoch(
+            train_step, params, opt_state, encoder_params, train_data,
+            tc.batch_size, jax.random.fold_in(k_train, epoch), epoch,
+            tc.print_freq, log,
+        )
+        val_loss = run_validation(
+            eval_step, params, encoder_params, val_data, tc.batch_size,
+            tc.print_freq, log,
+        )
+        is_best = val_loss < best_loss
+        best_loss = min(val_loss, best_loss)
+        stale = 0 if is_best else stale + 1
+        if not is_best:
+            log(f"Epochs since last improvement: {stale}")
+        ckpt.save_checkpoint(
+            checkpoint_dir, cfg.data.base_name, epoch, stale, val_loss,
+            params, opt_state, encoder_params, is_best,
+        )
+    return TrainResult(best_loss, epoch + 1 - start_epoch, params, encoder_params)

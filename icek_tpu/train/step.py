@@ -1,0 +1,126 @@
+"""Jitted train / eval steps: masked-CE loss, Adam with the reference's
+per-element gradient clamp, plateau LR decay via injected hyperparams.
+
+Loss semantics match the reference exactly (geo-aware/train.py:274-284):
+scores at position t predict caption token t+1, restricted to positions
+t < length-1 (through <end>), averaged over all contributing tokens.  The
+reference's sort + pack_padded_sequence is replaced by a mask — XLA-static
+and numerically identical for mean-CE.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from icek_tpu.core.config import Config
+from icek_tpu.models import captioner as cap
+from icek_tpu.models import resnet
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any                 # captioner params
+    opt_state: Any
+    encoder_params: Any         # resnet params (frozen unless fine-tuning)
+    encoder_opt_state: Any = None
+    step: int = 0
+
+
+def make_optimizer(learning_rate: float, grad_clip: float = 5.0):
+    """clip-by-value then Adam — mirrors clip_gradient's clamp_(-c, c)
+    (geo-aware/utils.py:75-85) followed by Adam.step.
+
+    The learning rate is injected so the plateau decay (train.py:173-176)
+    can rescale it in-place between epochs.
+    """
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip(grad_clip),
+            optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
+        )
+    )(learning_rate=learning_rate)
+
+
+def decay_learning_rate(opt_state, factor: float):
+    opt_state.hyperparams["learning_rate"] = (
+        opt_state.hyperparams["learning_rate"] * factor
+    )
+    return opt_state
+
+
+def caption_loss(scores, caption_ids, caption_lengths, pad_id):
+    """Masked mean cross-entropy over teacher-forced positions."""
+    targets = caption_ids[:, 1:]                           # predict next token
+    logits = scores[:, : targets.shape[1]]
+    T = targets.shape[1]
+    valid = jnp.arange(T)[None, :] < (caption_lengths[:, None] - 1)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    token_ll = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
+    total = jnp.sum(-token_ll * valid)
+    count = jnp.sum(valid)
+    return total / jnp.maximum(count, 1), count
+
+
+def make_train_step(
+    cfg: Config,
+    vocab_size: int,
+    pad_id: int,
+    optimizer,
+    compute_dtype=jnp.float32,
+    encode_images: bool = True,
+):
+    """Build the jitted train step.
+
+    If `encode_images` the batch carries raw normalized images (B,H,W,3) and
+    the frozen ResNet runs inside the step; otherwise the batch carries
+    precomputed image tokens (B, 196, D) — the fast path, since the default
+    config never updates the encoder (reference train.py:52,92-100).
+    """
+    mcfg = cfg.model
+
+    def image_tokens(encoder_params, batch):
+        if not encode_images:
+            return batch["image_tokens"]
+        return resnet.resnet_encode(
+            encoder_params, batch["images"], mcfg.encoded_image_size,
+            train=False, compute_dtype=compute_dtype,
+        )
+
+    def loss_fn(params, encoder_params, batch, rng):
+        tokens = image_tokens(encoder_params, batch)
+        tokens = jax.lax.stop_gradient(tokens)
+        scores = cap.captioner_forward(
+            params, mcfg, vocab_size, pad_id,
+            batch["caption_ids"], batch["caption_mask"], tokens,
+            batch["entity_features"], batch.get("fact_features"),
+            rng=rng, deterministic=False, compute_dtype=compute_dtype,
+        )
+        return caption_loss(scores, batch["caption_ids"], batch["lengths"], pad_id)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, encoder_params, batch, rng):
+        (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, encoder_params, batch, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, count
+
+    @jax.jit
+    def eval_step(params, encoder_params, batch):
+        tokens = image_tokens(encoder_params, batch)
+        scores = cap.captioner_forward(
+            params, mcfg, vocab_size, pad_id,
+            batch["caption_ids"], batch["caption_mask"], tokens,
+            batch["entity_features"], batch.get("fact_features"),
+            deterministic=True, compute_dtype=compute_dtype,
+        )
+        return caption_loss(scores, batch["caption_ids"], batch["lengths"], pad_id)
+
+    return train_step, eval_step

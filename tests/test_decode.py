@@ -113,3 +113,48 @@ def test_greedy_batched_matches_single(rng):
             )
         )
         np.testing.assert_array_equal(batched[b], single[0])
+
+
+def _small_ref_model(ref_models, wm, cfg, variant):
+    ref = ref_models.DecoderTransformer(
+        word_map=wm, emb_dim=D, decoder_dim=FFN, encoder_dim=FFN,
+        num_heads=HEADS, num_layers=LAYERS,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    ).eval()
+    ref.entity_encoder.type_embedding = nn.Embedding(cfg.type_vocab, cfg.type_emb_dim)
+    if variant != "geo":
+        ref.num_predicates = cfg.num_predicates
+        ref.predicate_embedding = nn.Embedding(cfg.num_predicates, D)
+        ref.fact_encoder.predicate_embedding = ref.predicate_embedding
+        ref.fc_predicate = nn.Linear(cfg.num_predicates, D)
+    return ref.eval()
+
+
+@pytest.mark.parametrize("variant", ["geo", "knowledge"])
+def test_beam_search_improves_on_beam1(rng, variant):
+    from icek_tpu.decode import beam
+
+    subproject = {"geo": "geo-aware", "knowledge": "knowledge-aware"}[variant]
+    ref_models, _ = reference_subproject(subproject)
+    torch_seed(7)
+    wm = _toy_wordmap()
+    V = len(wm)
+    cfg = small_cfg(variant)
+    E, F, max_len, B = 7, 6, 10, 2
+    ref = _small_ref_model(ref_models, wm, cfg, variant)
+    params = port.import_captioner_state(ref.state_dict(), cfg)
+
+    img = rng.standard_normal((B, 4, D)).astype(np.float32)
+    ents = _geo_entities(rng, B, E)
+    facts = _facts(rng, B, F, E, cfg.num_predicates) if variant != "geo" else None
+
+    ctx = greedy.prepare_decode_context(
+        params, cfg, jnp.asarray(img), jnp.asarray(ents),
+        jnp.asarray(facts) if facts is not None else None,
+    )
+    args = (params, cfg, V, E, wm["<start>"], wm["<end>"], wm["<pad>"], ctx, max_len)
+    tokens1, score1 = beam.beam_decode(*args, beam_size=1, length_normalize=False)
+    tokens5, score5 = beam.beam_decode(*args, beam_size=5, length_normalize=False)
+    assert tokens5.shape == (B, max_len)
+    # beam-5 explores a superset of beam-1 prefixes
+    assert np.all(np.asarray(score5) >= np.asarray(score1) - 1e-4)

@@ -268,10 +268,9 @@ def test_resnet_primitives_match_torch(rng):
         "conv1": t_conv(block.conv1), "bn1": t_bn(block.bn1),
         "conv2": t_conv(block.conv2), "bn2": t_bn(block.bn2),
         "conv3": t_conv(block.conv3), "bn3": t_bn(block.bn3),
-        "stride": 2,
         "down_conv": t_conv(block.downsample[0]),
         "down_bn": t_bn(block.downsample[1]),
     }
-    j = rn.bottleneck(block_params, j)
+    j = rn.bottleneck(block_params, j, stride=2)
     j = rn.adaptive_avg_pool(j, (5, 5))
     np.testing.assert_allclose(np.asarray(j), want, atol=1e-4)

@@ -1,0 +1,162 @@
+"""End-to-end slice: raw artifacts -> input files -> training -> checkpoint
+-> resume, on a tiny synthetic GeoRic-style dataset (CPU-runnable)."""
+
+import dataclasses
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from icek_tpu.core import config as config_lib
+from icek_tpu.data import dataset as ds
+from icek_tpu.data import input_files
+from icek_tpu.train import checkpoint as ckpt
+from icek_tpu.train import loop as train_loop
+
+
+def tiny_cfg():
+    base = config_lib.georic()
+    return base.replace(
+        model=dataclasses.replace(
+            base.model,
+            emb_dim=20, decoder_ffn_dim=32, encoder_ffn_dim=32,
+            num_heads=2, num_layers=1, type_vocab=50,
+            encoded_image_size=4,
+        ),
+        data=dataclasses.replace(
+            base.data,
+            base_name="tiny_geo", entity_context_size=8, max_caption_len=10,
+            img_size=32,
+        ),
+        train=dataclasses.replace(base.train, batch_size=4, print_freq=1),
+    )
+
+
+WORDS = ["a", "the", "bridge", "river", "near", "is", "old", "tower", "in", "ancient"]
+
+
+def make_raw_dataset(tmp_path, n_images=10):
+    pd = pytest.importorskip("pandas")
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    images = []
+    entity_contexts = {}
+    for i in range(n_images):
+        arr = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img{i}.jpg")
+        url = f"http://example.com/{i}"
+        split = "train" if i < 6 else ("val" if i < 8 else "test")
+        tokens = list(rng.choice(WORDS, size=5)) + ["tower_bridge"]
+        mask = [0] * 5 + [1]
+        images.append(
+            {"tokens": tokens, "mask": mask, "url": url, "id": f"img{i}",
+             "split": split}
+        )
+        entity_contexts[url] = pd.DataFrame(
+            {
+                "name": ["Tower Bridge", "River Thames"],
+                "distance": [0.1, 0.4],
+                "azimuth": [12.0, -45.0],
+                "size": [0.02, 0.08],
+                "type_index": [3, 7],
+            }
+        )
+    with open(tmp_path / "captions_split.json", "w") as f:
+        json.dump({"images": images}, f)
+    with open(tmp_path / "entity_context.pkl", "wb") as f:
+        pickle.dump(entity_contexts, f)
+    return tmp_path
+
+
+def test_end_to_end_training(tmp_path):
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    writer = input_files.InputFileWriter(
+        cfg,
+        str(raw / "captions_split.json"),
+        str(raw / "entity_context.pkl"),
+        str(raw / "images"),
+        str(out_dir),
+        seed=0,
+    )
+    wm = writer.run()
+
+    # file protocol
+    for split in ("TRAIN", "VAL", "TEST"):
+        for kind, ext in [
+            ("IMAGES", "hdf5"), ("CAPTIONS", "json"), ("CAPLENS", "json"),
+            ("CAPMASKS", "json"), ("ENT_FEATURES", "pkl"), ("ENT_NAMES", "pkl"),
+        ]:
+            assert (out_dir / f"{split}_{kind}_tiny_geo.{ext}").exists()
+    assert (out_dir / "WORDMAP_tiny_geo.json").exists()
+
+    train_data = ds.CaptionDataset(str(out_dir), "tiny_geo", "TRAIN")
+    assert len(train_data) == 6
+    assert train_data.arrays.entity_features.shape == (6, 9, 5)
+    assert train_data.arrays.caption_ids.shape == (6, 12)  # max_len + 2
+
+    ckpt_dir = tmp_path / "ckpts"
+    result = train_loop.train(
+        cfg, str(out_dir), len(wm), wm.pad_id,
+        checkpoint_dir=str(ckpt_dir), max_epochs=2, log=lambda s: None,
+    )
+    assert np.isfinite(result.best_loss)
+    latest = ckpt.latest_checkpoint(str(ckpt_dir), "tiny_geo")
+    assert latest is not None
+
+    resumed = train_loop.train(
+        cfg, str(out_dir), len(wm), wm.pad_id,
+        checkpoint_dir=str(ckpt_dir), resume_from=latest, max_epochs=3,
+        log=lambda s: None,
+    )
+    assert np.isfinite(resumed.best_loss)
+
+
+def test_overfit_single_batch(tmp_path):
+    """Loss decreases markedly when overfitting one batch — the training
+    signal flows through every component."""
+    from icek_tpu.models import captioner
+    from icek_tpu.train import step as step_lib
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0
+        )
+    )
+    V, E, B, T = 20, 5, 4, 8
+    rng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(0)
+    params = captioner.init_captioner_params(key, cfg.model, V)
+    optimizer = step_lib.make_optimizer(3e-3)
+    opt_state = optimizer.init(params)
+    train_step, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=False
+    )
+    ents = np.zeros((B, E, 5), dtype=np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 4] = rng.integers(0, 10, (B, E))
+    batch = {
+        "caption_ids": rng.integers(1, V + E, (B, T)).astype(np.int32),
+        "caption_mask": np.zeros((B, T), dtype=np.int32),
+        "lengths": np.full((B,), T, dtype=np.int32),
+        "entity_features": ents,
+        "image_tokens": rng.standard_normal((B, 6, 20)).astype(np.float32),
+    }
+    batch["caption_mask"][batch["caption_ids"] >= V] = 1
+    losses = []
+    for i in range(60):
+        params, opt_state, loss, _ = train_step(
+            params, opt_state, None, batch, jax.random.fold_in(key, i)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
