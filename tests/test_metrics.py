@@ -1,0 +1,284 @@
+"""Metric correctness: BLEU cross-checked against nltk, CIDEr/ROUGE/METEOR
+invariants, JS-geo accumulation parity vs the reference metric class, and
+fact-accuracy parity on crafted cases."""
+
+import random
+import sys
+
+import numpy as np
+import pytest
+
+from icek_tpu.metrics import bleu, cider, meteor, rouge
+
+from conftest import REFERENCE_ROOT, reference_subproject
+
+REFS = [
+    ["the old bridge crosses the river near the town"],
+    ["a tower built in 1894 stands on the hill"],
+    ["the cathedral of st paul is in london"],
+]
+CANDS = [
+    "the old bridge crosses the river near the city",
+    "a tower built in 1894 stands on the hill",
+    "a cathedral in london",
+]
+
+
+def test_bleu_matches_nltk_corpus():
+    nltk = pytest.importorskip("nltk")
+    from nltk.translate.bleu_score import corpus_bleu as nltk_bleu
+
+    refs_tok = [[r.split() for r in refs] for refs in REFS]
+    cands_tok = [c.split() for c in CANDS]
+    corpus, _ = bleu.corpus_bleu(REFS, CANDS)
+    for n in range(4):
+        weights = tuple([1.0 / (n + 1)] * (n + 1))
+        want = nltk_bleu(refs_tok, cands_tok, weights=weights)
+        assert abs(corpus[n] - want) < 1e-6, (n, corpus[n], want)
+
+
+def test_bleu_perfect_match():
+    corpus, per_sent = bleu.corpus_bleu([[c] for c in CANDS], CANDS)
+    assert all(abs(s - 1.0) < 1e-6 for s in corpus)
+
+
+def test_cider_perfect_match_scores_ten():
+    mean, scores = cider.cider_score([[c] for c in CANDS], CANDS)
+    assert abs(mean - 10.0) < 1e-6
+    assert all(abs(s - 10.0) < 1e-6 for s in scores)
+
+
+def test_cider_orders_by_overlap():
+    refs = [
+        ["the old bridge crosses the river"],
+        ["a tall tower stands on the hill"],
+        ["boats sail along the canal at dawn"],
+    ]
+    cands = ["the old bridge crosses the river", "a completely different text here",
+             "boats sail along the canal at dawn"]
+    _, scores = cider.cider_score(refs, cands)
+    assert scores[0] > scores[1]
+    assert scores[2] > scores[1]
+
+
+def test_rouge_l_hand_computed():
+    # cand LCS with ref: "the cat sat" (3 tokens)
+    score = rouge.rouge_l_sentence(["the cat sat on the mat"], "the cat sat down")
+    p, r, b = 3 / 4, 3 / 6, 1.2
+    want = (1 + b * b) * p * r / (r + b * b * p)
+    assert abs(score - want) < 1e-9
+
+
+def test_meteor_invariants():
+    assert meteor.meteor_sentence(["the cat sat"], "the cat sat") > 0.9
+    good = meteor.meteor_sentence(["the old towers stand"], "the old tower stands")
+    bad = meteor.meteor_sentence(["the old towers stand"], "unrelated words entirely")
+    assert good > bad == 0.0
+
+
+# -----------------------------------------------------------------------
+# JS geo metric parity
+# -----------------------------------------------------------------------
+
+def _geo_wordmap():
+    words = ["a", "the", "of", "near", "in", "across", "along", "north_of",
+             "south_of", "east_of", "west_of", "bridge", "stands"]
+    wm = {w: i + 1 for i, w in enumerate(words)}
+    wm["<unk>"] = len(wm) + 1
+    wm["<start>"] = len(wm) + 1
+    wm["<end>"] = len(wm) + 1
+    wm["<pad>"] = 0
+    return wm
+
+
+def test_js_geo_accumulation_matches_reference(monkeypatch):
+    torch = pytest.importorskip("torch")
+    path = REFERENCE_ROOT / "geo-aware"
+    if not path.exists():
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, str(path))
+    monkeypatch.chdir(path)  # reference loads data/*.pkl relative to cwd
+    try:
+        for mod in ("jensen_shannon_metric", "utils"):
+            sys.modules.pop(mod, None)
+        import jensen_shannon_metric as ref_js
+        import importlib
+
+        importlib.reload(ref_js)
+        wm = _geo_wordmap()
+        ref_metric = ref_js.JSGeoMetric(word_map=wm, print_metrics=False)
+
+        from icek_tpu.data.codec import encode_name
+        from icek_tpu.metrics.js_geo import JSGeoMetric
+
+        mine = JSGeoMetric(
+            wm,
+            ref_metric.bins_distance,
+            ref_metric.bins_azimuth,
+            len(ref_metric.OSM_types_index),
+            train_distributions=None,
+            print_metrics=False,
+        )
+
+        V = len(wm)
+        E = 4
+        names = []
+        for i, name in enumerate(["tower_bridge", "river_thames", "old_town", "<unk_ent>"]):
+            names.append([i, len(name)] + encode_name(name))
+        feats = np.zeros((E, 5), dtype=np.float32)
+        feats[:, 0] = np.arange(E)
+        feats[:, 1] = [0.05, 0.5, 1.2, 0.3]
+        feats[:, 2] = [10.0, -100.0, 170.0, 0.0]
+        feats[:, 4] = [3, 7, 100, 2]
+
+        seqs = [
+            # "bridge near tower_bridge" / "north_of the river_thames" etc.
+            [wm["bridge"], wm["near"], V + 0, wm["stands"]],
+            [wm["bridge"], wm["north_of"], wm["the"], V + 1],
+            [wm["across"], wm["of"], wm["the"], V + 2],
+            [wm["in"], V + 3],            # unk_ent -> skipped
+            [wm["along"], V + 1, V + 0],  # entity after entity -> only first
+        ]
+        random.seed(0)
+        for seq in seqs:
+            ref_metric.run(
+                [torch.tensor(t) for t in seq],
+                torch.tensor(feats),
+                torch.tensor(names),
+            )
+        random.seed(0)
+        for seq in seqs:
+            mine.run(seq, feats, names)
+
+        for term in mine.generated:
+            for key in ("n_occurrences", "distance", "azimuth", "type"):
+                if key in mine.generated[term]:
+                    assert (
+                        mine.generated[term][key]
+                        == ref_metric.geo_probability_distr_generated[term][key]
+                    ), (term, key)
+            for key in ("distance", "azimuth", "type"):
+                if key in mine.random_baseline[term]:
+                    assert (
+                        mine.random_baseline[term][key]
+                        == ref_metric.geo_probability_distr_random[term][key]
+                    ), (term, key)
+
+        # js distance math parity
+        p = [0.2, 0.3, 0.5]
+        q = [0.4, 0.4, 0.2]
+        assert abs(
+            JSGeoMetric.js_distance(p, q) - ref_metric.js_distance(np.array(p), np.array(q))
+        ) < 1e-12
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("jensen_shannon_metric", None)
+        sys.modules.pop("utils", None)
+
+
+# -----------------------------------------------------------------------
+# Fact accuracy parity
+# -----------------------------------------------------------------------
+
+def _fact_fixture(tmp_path):
+    pd = pytest.importorskip("pandas")
+    import json
+    import pickle
+
+    url = "http://example.com/1"
+    images = [
+        {
+            "tokens": ["the", "tower_bridge", "built", "in", "1894"],
+            "mask": [0, 1, 0, 0, 2],
+            "url": url, "id": f"img{i}", "split": "test",
+        }
+        for i in range(4)
+    ]
+    entities = {
+        url: pd.DataFrame(
+            {"name": ["Tower Bridge", "River Thames"], "distance": [0.1, 0.2],
+             "azimuth": [0.0, 1.0], "size": [0.1, 0.1], "type_index": [1, 2]}
+        )
+    }
+    knowledge = {
+        url: pd.DataFrame(
+            {
+                "subject": ["Tower Bridge", "Tower Bridge", "River Thames"],
+                "predicate": ["opened", "architect", "length"],
+                "object": ["1894", "horace_jones", "215_miles"],
+            }
+        )
+    }
+    splits = tmp_path / "captions_split.json"
+    ents_p = tmp_path / "entity_context.pkl"
+    know_p = tmp_path / "knowledge_context.pkl"
+    with open(splits, "w") as f:
+        json.dump({"images": images}, f)
+    with open(ents_p, "wb") as f:
+        pickle.dump(entities, f)
+    with open(know_p, "wb") as f:
+        pickle.dump(knowledge, f)
+    return str(splits), str(ents_p), str(know_p)
+
+
+def test_fact_accuracy_matches_reference(tmp_path, monkeypatch):
+    path = REFERENCE_ROOT / "knowledge-aware"
+    if not path.exists():
+        pytest.skip("reference not mounted")
+    splits, ents_p, know_p = _fact_fixture(tmp_path)
+    sys.path.insert(0, str(path))
+    monkeypatch.chdir(path)
+    try:
+        for mod in ("fact_accuracy_metric", "utils"):
+            sys.modules.pop(mod, None)
+        import fact_accuracy_metric as ref_fm
+        import importlib
+
+        importlib.reload(ref_fm)
+        ref = ref_fm.FactAccuracyMetric(splits, ents_p, know_p)
+
+        from icek_tpu.metrics.fact_accuracy import FactAccuracyMetric
+
+        mine = FactAccuracyMetric.from_data_dir(
+            splits, ents_p, know_p, str(path / "data")
+        )
+        captions = [
+            "the tower_bridge built in 1894",      # correct temporal fact
+            "the tower_bridge built in 1901",      # wrong year
+            "a bridge near the river",             # no facts
+            "tower_bridge opened in <unk_fact>",   # unk fact counts, incorrect
+        ]
+        for cap in captions:
+            gt_caption = "the tower_bridge built in 1894"
+            gt_entities = ["tower_bridge"]
+            url = "http://example.com/1"
+            want = ref.check_temporal_facts(cap, gt_caption, gt_entities, url)
+            got = mine.check_temporal(cap, gt_caption, gt_entities, url)
+            assert tuple(got) == tuple(want), cap
+            want_o = ref.check_other_facts(cap, gt_entities, url)
+            got_o = mine.check_other(cap, gt_entities, url)
+            assert tuple(got_o) == tuple(want_o), cap
+        assert ref.extract_year("built in 1894 and no. 1921") == (
+            __import__("icek_tpu.metrics.fact_accuracy", fromlist=["x"]).extract_years(
+                "built in 1894 and no. 1921"
+            )
+        )
+        assert mine.run(captions, log=lambda s: None)["n_temporal"] == 3
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("fact_accuracy_metric", None)
+        sys.modules.pop("utils", None)
+
+
+def test_ne_pr_fallback():
+    from icek_tpu.metrics.ne_pr import NamedEntityPR, fallback_ner
+
+    assert "Tower Bridge" in fallback_ner("the Tower Bridge opened in London")
+    metric = NamedEntityPR(proper_nouns=["tower", "bridge", "london"])
+    res = metric.compute(
+        ["the tower bridge in london"],
+        ["the tower bridge in london"],
+        log=lambda s: None,
+    )
+    assert res["exact_precision"] == 1.0
+    assert res["exact_recall"] == 1.0
