@@ -1,0 +1,175 @@
+"""Shared plumbing for the per-dataset entry points under apps/.
+
+Each subdirectory (geo_aware / knowledge_aware / news_knowledge_aware)
+exposes the reference's four scripts — create_input_files.py, train.py,
+eval.py, compute_eval_metrics.py — as thin CLIs over the icek_tpu library,
+preserving the reference's file / checkpoint / CSV contracts per preset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from icek_tpu.core import config as config_lib                     # noqa: E402
+from icek_tpu.data.codec import Wordmap                            # noqa: E402
+
+
+def load_wordmap(data_dir: str, base_name: str) -> Wordmap:
+    with open(os.path.join(data_dir, f"WORDMAP_{base_name}.json")) as f:
+        return Wordmap(json.load(f))
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument(
+        "--data-dir", default="img_caption_data/input_dataset_files/",
+        help="directory with the packed input files",
+    )
+    return p
+
+
+def run_create_input_files(preset: str, argv=None):
+    cfg = config_lib.get_config(preset)
+    p = argparse.ArgumentParser(
+        description=f"Create input files for the {preset} preset"
+    )
+    p.add_argument("--splits", default="img_caption_data/captions_split.json")
+    p.add_argument("--entities", default="img_caption_data/entity_context.pkl")
+    p.add_argument("--knowledge", default="img_caption_data/knowledge_context.pkl")
+    p.add_argument("--images", default="img_caption_data/images/")
+    p.add_argument("--output", default="img_caption_data/input_dataset_files/")
+    p.add_argument("--wordmap", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+    from icek_tpu.data.input_files import InputFileWriter
+
+    writer = InputFileWriter(
+        cfg, args.splits, args.entities, args.images, args.output,
+        knowledge_context_path=args.knowledge if cfg.model.has_facts else None,
+        wordmap_file_path=args.wordmap, seed=args.seed,
+    )
+    writer.run()
+
+
+def run_train(preset: str, argv=None):
+    cfg = config_lib.get_config(preset)
+    p = base_parser(f"Train the {preset} captioner")
+    p.add_argument("--checkpoint-dir", default=".")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--glove", default=None,
+                   help="path to GloVe-format embeddings for word init")
+    args = p.parse_args(argv)
+    from icek_tpu.train import loop as train_loop
+    from icek_tpu.train.embeddings import load_glove_embeddings
+
+    wm = load_wordmap(args.data_dir, cfg.data.base_name)
+    pretrained = None
+    if args.glove:
+        pretrained = load_glove_embeddings(args.glove, wm, cfg.model.emb_dim)
+    train_loop.train(
+        cfg, args.data_dir, len(wm), wm.pad_id,
+        checkpoint_dir=args.checkpoint_dir,
+        pretrained_embeddings=pretrained,
+        resume_from=args.resume,
+        max_epochs=args.epochs,
+    )
+
+
+def run_eval(preset: str, argv=None):
+    cfg = config_lib.get_config(preset)
+    p = base_parser(f"Evaluate the {preset} captioner on the TEST split")
+    p.add_argument("--checkpoint", required=True,
+                   help=".msgpack checkpoint or reference .pth.tar")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--beam", type=int, default=None,
+                   help="beam size (default: preset; 1 = greedy)")
+    p.add_argument("--metric-data", default="data",
+                   help="directory with the metric pkl tables")
+    p.add_argument("--splits", default="img_caption_data/captions_split.json")
+    p.add_argument("--entities", default="img_caption_data/entity_context.pkl")
+    p.add_argument("--knowledge", default="img_caption_data/knowledge_context.pkl")
+    p.add_argument("--output", default="generated_captions.csv")
+    args = p.parse_args(argv)
+
+    from icek_tpu import eval_driver
+    from icek_tpu.data import dataset as ds
+    from icek_tpu.train import checkpoint as ckpt_lib
+    from icek_tpu.train import port
+
+    wm = load_wordmap(args.data_dir, cfg.data.base_name)
+    if args.checkpoint.endswith(".pth.tar"):
+        params, encoder_params, _ = port.load_reference_checkpoint(
+            args.checkpoint, cfg.model
+        )
+    else:
+        params, _, encoder_params, _ = ckpt_lib.load_checkpoint(args.checkpoint)
+
+    data = ds.CaptionDataset(
+        args.data_dir, cfg.data.base_name, "TEST", cfg.model.has_facts
+    )
+    evaluator = eval_driver.Evaluator(
+        cfg, wm, params, encoder_params,
+        batch_size=args.batch_size, beam_size=args.beam,
+    )
+
+    js_metric = fact_metric = predicate_to_objects = None
+    if cfg.model.variant == "geo" and os.path.isdir(args.metric_data):
+        from icek_tpu.metrics.js_geo import JSGeoMetric
+
+        js_metric = JSGeoMetric.from_data_dir(wm.to_json_dict(), args.metric_data)
+    if cfg.model.variant == "knowledge":
+        import pickle
+
+        if os.path.isdir(args.metric_data):
+            from icek_tpu.metrics.fact_accuracy import FactAccuracyMetric
+
+            fact_metric = FactAccuracyMetric.from_data_dir(
+                args.splits, args.entities, args.knowledge, args.metric_data
+            )
+            with open(
+                os.path.join(args.metric_data, "predicate_to_objects.pkl"), "rb"
+            ) as f:
+                predicate_to_objects = pickle.load(f)
+    evaluator.run(
+        data, js_metric=js_metric, fact_metric=fact_metric,
+        predicate_to_objects=predicate_to_objects, output_csv=args.output,
+    )
+
+
+def run_compute_eval_metrics(preset: str, argv=None):
+    cfg = config_lib.get_config(preset)
+    p = argparse.ArgumentParser(
+        description=f"Score generated captions for the {preset} preset"
+    )
+    p.add_argument("--captions", default="generated_captions.csv")
+    p.add_argument("--splits", default="img_caption_data/captions_split.json")
+    p.add_argument("--output", default="metric_scores_for_generated_captions.csv")
+    args = p.parse_args(argv)
+    import pandas as pd
+
+    from icek_tpu.metrics.scores import score_captions
+
+    generated = pd.read_csv(args.captions)["generated_caption"].fillna("").values
+    with open(args.splits) as f:
+        data = json.load(f)
+    test_imgs = [
+        img for img in data["images"]
+        if img["split"] == "test" and len(img["tokens"]) <= cfg.data.max_caption_len
+    ]
+    true_captions = [" ".join(img["tokens"]) for img in test_imgs]
+    ids = [img["id"] for img in test_imgs]
+    if cfg.model.variant == "news":
+        true_captions = [t.replace("_", " ") for t in true_captions]
+        generated = [g.replace("_", " ") for g in generated]
+        from icek_tpu.metrics.ne_pr import NamedEntityPR
+
+        NamedEntityPR().compute(list(generated), true_captions)
+    score_captions(true_captions, list(generated), ids, output_csv=args.output)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""North-star benchmark: captions/sec (encode + beam-5 decode) per chip.
+
+Runs the geo-preset production configuration (d_model=300, 3 layers,
+10 heads, V=10k, E=300+1 entity context, 256x256 images through the full
+ResNet-101 encoder, beam-5 decode to 30 tokens) at batch 256 on one chip
+and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "captions/sec", "vs_baseline": N}
+
+vs_baseline is against the measured reference CPU throughput
+(benchmarks/reference_cpu_baseline.json — 2.81 captions/sec, batch-1 greedy
+predict loop, decode only, so the comparison favors the reference).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icek_tpu.core import config as config_lib
+from icek_tpu.decode import beam as beam_lib
+from icek_tpu.decode import greedy as greedy_lib
+from icek_tpu.models import captioner, resnet
+
+REFERENCE_CPU_CAPS_PER_SEC = 2.8126  # benchmarks/reference_cpu_baseline.json
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BEAM = int(os.environ.get("BENCH_BEAM", "5"))
+VOCAB = 10000
+MAX_LEN = 30
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+
+
+def main():
+    cfg = config_lib.georic()
+    mcfg = cfg.model
+    backend = jax.default_backend()
+    compute_dtype = jnp.float32 if backend == "cpu" else jnp.bfloat16
+
+    key = jax.random.PRNGKey(0)
+    params = captioner.init_captioner_params(key, mcfg, VOCAB)
+    encoder_params = resnet.init_resnet101(key, mcfg.emb_dim)
+
+    rng = np.random.default_rng(0)
+    E = cfg.data.entity_context_size + 1
+    images = jnp.asarray(
+        rng.standard_normal((BATCH, 256, 256, 3)).astype(np.float32)
+    )
+    ents = np.zeros((BATCH, E, 5), dtype=np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 1] = rng.uniform(0, 1, (BATCH, E))
+    ents[:, :, 2] = rng.uniform(-179, 179, (BATCH, E))
+    ents[:, :, 3] = rng.uniform(0, 0.1, (BATCH, E))
+    ents[:, :, 4] = rng.integers(0, 900, (BATCH, E))
+    ents = jnp.asarray(ents)
+
+    start_id, end_id, pad_id = VOCAB - 2, VOCAB - 1, 0
+
+    @jax.jit
+    def encode(imgs):
+        return resnet.resnet_encode(
+            encoder_params, imgs, mcfg.encoded_image_size,
+            compute_dtype=compute_dtype,
+        )
+
+    def pipeline(imgs):
+        tokens = encode(imgs)
+        ctx = greedy_lib.prepare_decode_context(
+            params, mcfg, tokens, ents, compute_dtype=compute_dtype
+        )
+        if BEAM <= 1:
+            return greedy_lib.greedy_decode(
+                params, mcfg, VOCAB, E, start_id, end_id, pad_id, ctx,
+                MAX_LEN, compute_dtype=compute_dtype,
+            )
+        out, _ = beam_lib.beam_decode(
+            params, mcfg, VOCAB, E, start_id, end_id, pad_id, ctx,
+            MAX_LEN, beam_size=BEAM, compute_dtype=compute_dtype,
+        )
+        return out
+
+    # warmup / compile
+    pipeline(images).block_until_ready()
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        pipeline(images).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    caps_per_sec = BATCH / best
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"captions/sec (ResNet-101 encode + beam-{BEAM} decode, "
+                    f"batch {BATCH}, geo config) per chip"
+                ),
+                "value": round(caps_per_sec, 2),
+                "unit": "captions/sec",
+                "vs_baseline": round(caps_per_sec / REFERENCE_CPU_CAPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

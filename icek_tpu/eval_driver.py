@@ -1,0 +1,233 @@
+"""Batched evaluation driver: TEST split -> captions CSV + domain metrics.
+
+The TPU-native replacement for the reference's eval.py scripts
+(geo-aware/eval.py:46-131, knowledge-aware/eval.py:49-200,
+news-knowledge-aware/eval.py:53-175): instead of a batch-1 Python loop with
+per-step host re-decoding, images are encoded and decoded in large static
+batches fully on device (greedy or beam), and only detokenization + CSV
+writing + metric accumulation stay on host.
+
+Output contract preserved per preset:
+  * ``generated_captions.csv`` with a ``generated_caption`` column
+    (news adds ``generated_mask``);
+  * knowledge also writes ``generated_captions_random_facts.csv`` (the
+    random-fact-object baseline) and prints both fact-accuracy reports;
+  * geo feeds the Jensen-Shannon metric online.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icek_tpu.core.config import Config
+from icek_tpu.data import dataset as ds
+from icek_tpu.data.codec import UNK_FACT, Wordmap
+from icek_tpu.decode import beam as beam_lib
+from icek_tpu.decode import detok
+from icek_tpu.decode import greedy as greedy_lib
+from icek_tpu.models import resnet
+
+
+def _pad_batch(idx: np.ndarray, batch_size: int) -> np.ndarray:
+    if len(idx) < batch_size:
+        return np.concatenate([idx, np.full(batch_size - len(idx), idx[-1])])
+    return idx
+
+
+class Evaluator:
+    def __init__(
+        self,
+        cfg: Config,
+        wordmap: Wordmap,
+        params,
+        encoder_params,
+        batch_size: int = 64,
+        beam_size: Optional[int] = None,
+        compute_dtype=None,
+    ):
+        self.cfg = cfg
+        self.wordmap = wordmap
+        self.params = params
+        self.encoder_params = encoder_params
+        self.batch_size = batch_size
+        self.beam_size = beam_size if beam_size is not None else cfg.decode.beam_size
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+            )
+        self.compute_dtype = compute_dtype
+        self._encode = jax.jit(
+            lambda imgs: resnet.resnet_encode(
+                self.encoder_params, imgs, cfg.model.encoded_image_size,
+                compute_dtype=compute_dtype,
+            )
+        )
+
+    def decode_batch(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        """One static-shape batch -> (B, max_len) extended-vocab ids."""
+        cfg = self.cfg
+        if "image_tokens" in batch:
+            tokens = jnp.asarray(batch["image_tokens"])
+        else:
+            tokens = self._encode(jnp.asarray(batch["images"]))
+        facts = (
+            jnp.asarray(batch["fact_features"])
+            if batch.get("fact_features") is not None
+            else None
+        )
+        ctx = greedy_lib.prepare_decode_context(
+            self.params, cfg.model, tokens, jnp.asarray(batch["entity_features"]),
+            facts, compute_dtype=self.compute_dtype,
+        )
+        wm = self.wordmap
+        num_entity_rows = batch["entity_features"].shape[1]
+        if self.beam_size <= 1:
+            out = greedy_lib.greedy_decode(
+                self.params, cfg.model, len(wm), num_entity_rows,
+                wm.start_id, wm.end_id, wm.pad_id, ctx,
+                cfg.decode.max_caption_len, compute_dtype=self.compute_dtype,
+            )
+        else:
+            out, _ = beam_lib.beam_decode(
+                self.params, cfg.model, len(wm), num_entity_rows,
+                wm.start_id, wm.end_id, wm.pad_id, ctx,
+                cfg.decode.max_caption_len, beam_size=self.beam_size,
+                compute_dtype=self.compute_dtype,
+            )
+        return np.asarray(out)
+
+    def run(
+        self,
+        data: ds.CaptionDataset,
+        js_metric=None,
+        fact_metric=None,
+        predicate_to_objects: Optional[Dict[str, List[str]]] = None,
+        output_csv: str = "generated_captions.csv",
+        log: Callable[[str], None] = print,
+        rng: Optional[_random.Random] = None,
+    ) -> Dict[str, object]:
+        cfg = self.cfg
+        rng = rng or _random
+        n = len(data)
+        captions: List[str] = []
+        masks: List[List[int]] = []
+        random_baseline: List[str] = []
+        num_entities = num_facts = caps_with_entities = caps_with_facts = 0
+
+        for start in range(0, n, self.batch_size):
+            idx = _pad_batch(np.arange(start, min(start + self.batch_size, n)),
+                             self.batch_size)
+            batch = data.batch(idx)
+            out = self.decode_batch(batch)
+            count = min(self.batch_size, n - start)
+            for b in range(count):
+                i = start + b
+                ent_names = data.arrays.entity_names[i]
+                fact_names = (
+                    data.arrays.fact_names[i]
+                    if data.arrays.fact_names is not None
+                    else None
+                )
+                tokens, kinds = detok.detokenize(
+                    out[b], self.wordmap, ent_names, fact_names
+                )
+                text = detok.trim_trailing_sentence(" ".join(tokens))
+                captions.append(text)
+                masks.append(kinds)
+                if 1 in kinds:
+                    caps_with_entities += 1
+                    num_entities += sum(1 for k in kinds if k == 1)
+                if 2 in kinds:
+                    caps_with_facts += 1
+                    num_facts += sum(1 for k in kinds if k == 2)
+                if js_metric is not None:
+                    js_metric.run(
+                        [int(t) for t in out[b]],
+                        data.arrays.entity_features[i],
+                        ent_names,
+                    )
+                if predicate_to_objects is not None and fact_names is not None:
+                    random_baseline.append(
+                        _random_fact_caption(
+                            tokens, kinds, fact_names, predicate_to_objects, rng
+                        )
+                    )
+
+        self._write_csv(output_csv, captions, masks)
+        results: Dict[str, object] = {"captions": captions, "masks": masks}
+        if random_baseline:
+            self._write_csv(
+                output_csv.replace(".csv", "_random_facts.csv"), random_baseline
+            )
+            results["random_baseline"] = random_baseline
+        if js_metric is not None:
+            results["js"] = js_metric.results()
+        if fact_metric is not None:
+            log("\nKNOWLEDGE-AWARE:")
+            results["fact_accuracy"] = fact_metric.run(captions, log=log)
+            if random_baseline:
+                log("\nRANDOM FACT OBJECT BASELINE:")
+                results["fact_accuracy_random"] = fact_metric.run(
+                    random_baseline, log=log
+                )
+        if cfg.model.variant == "news":
+            ratio_e = round(caps_with_entities * 100 / max(n, 1), 2)
+            ratio_f = round(caps_with_facts * 100 / max(n, 1), 2)
+            log(f"Captions with entities: {caps_with_entities} out of {n}, {ratio_e}%")
+            log(f"Captions with facts: {caps_with_facts} out of {n}, {ratio_f}%")
+            log(
+                "Number of generated entities (both from E and K) per caption: "
+                f"{round((num_entities + num_facts) / max(n, 1), 2)}"
+            )
+        return results
+
+    def _write_csv(self, path: str, captions: List[str], masks=None):
+        import pandas as pd
+
+        data = {"generated_caption": captions}
+        if self.cfg.model.variant == "news" and masks is not None:
+            data["generated_mask"] = masks
+        pd.DataFrame(data).to_csv(path, index=False)
+
+
+def _random_fact_caption(
+    tokens: List[str],
+    kinds: List[int],
+    fact_names: np.ndarray,
+    predicate_to_objects: Dict[str, List[str]],
+    rng,
+) -> str:
+    """Random-fact-object baseline caption (knowledge-aware/eval.py:81-156):
+    replace each generated fact token with a random same-type object (shares
+    a predicate in the corpus) from the image's knowledge context."""
+    from icek_tpu.metrics.fact_accuracy import is_year
+
+    years, others = [], []
+    for row in fact_names[:-1]:
+        obj = detok.name_from_row(row)
+        if obj not in others and obj not in years:
+            (years if is_year(obj) else others).append(obj)
+    out = []
+    for tok, kind in zip(tokens, kinds):
+        if kind != 2:
+            out.append(tok)
+            continue
+        if is_year(tok):
+            out.append(rng.choice(years) if years else UNK_FACT)
+            continue
+        if not others:
+            out.append(UNK_FACT)
+            continue
+        same_type = [tok]
+        for objects in predicate_to_objects.values():
+            if tok in objects:
+                same_type.extend(
+                    x for x in objects if x != tok and x in others
+                )
+        out.append(rng.choice(same_type) if same_type else UNK_FACT)
+    return detok.trim_trailing_sentence(" ".join(out))

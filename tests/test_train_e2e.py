@@ -160,3 +160,50 @@ def test_overfit_single_batch(tmp_path):
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_eval_driver_and_scores(tmp_path):
+    """TEST-split eval: batched greedy + beam decode -> CSV -> corpus scores."""
+    import pandas as pd
+
+    from icek_tpu import eval_driver
+    from icek_tpu.metrics.scores import score_captions
+    from icek_tpu.models import captioner, resnet
+
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    writer = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    )
+    wm = writer.run()
+    test_data = ds.CaptionDataset(str(out_dir), "tiny_geo", "TEST")
+
+    key = jax.random.PRNGKey(3)
+    params = captioner.init_captioner_params(key, cfg.model, len(wm))
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+
+    for beam_size in (1, 3):
+        csv_path = tmp_path / f"generated_beam{beam_size}.csv"
+        evaluator = eval_driver.Evaluator(
+            cfg, wm, params, encoder_params, batch_size=2, beam_size=beam_size,
+        )
+        results = evaluator.run(test_data, output_csv=str(csv_path),
+                                log=lambda s: None)
+        assert csv_path.exists()
+        df = pd.read_csv(csv_path)
+        assert len(df) == len(test_data)
+        assert len(results["captions"]) == len(test_data)
+
+    with open(raw / "captions_split.json") as f:
+        split = json.load(f)
+    truths = [
+        " ".join(img["tokens"]) for img in split["images"] if img["split"] == "test"
+    ]
+    scores = score_captions(
+        truths, results["captions"],
+        output_csv=str(tmp_path / "scores.csv"), log=lambda s: None,
+    )
+    for name in ("Bleu_1", "Bleu_4", "CIDEr", "METEOR", "ROUGE_L"):
+        assert name in scores and np.isfinite(scores[name])
