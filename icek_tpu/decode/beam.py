@@ -4,12 +4,18 @@ A capability the reference does not have (its predict() is greedy-only,
 geo-aware/models.py:412); this is the framework's default high-quality
 decoder and the unit the north-star benchmark measures (encode + beam-5).
 
-Design: hypotheses live in HBM as a (B, K, ...) extension of the greedy
-loop's state.  Each step scores all K hypotheses in one batched pass
-(folding K into the batch axis so the MXU sees a B*K batch), takes the
-top-K of the K*S continuation scores per image, and gathers the KV caches
-by parent index.  Finished hypotheses propagate with a single forced <pad>
-continuation so their log-probability is unchanged.
+Design notes (HBM-bandwidth-first):
+  * hypotheses live as a beam axis K folded into batch ONLY for per-
+    hypothesis state (self-attention KV caches, tokens, seen-masks);
+  * everything static per image — cross-attention K/V of the 196+E+F
+    memory, the encoded entity/fact tables, the predicate one-hots —
+    stays at batch B and is read ONCE per step, with the K hypotheses
+    riding the query-position axis (see transformer.multi_head_attention's
+    shared-KV path).  This cuts per-step HBM traffic by ~K x, which is
+    the dominant cost of the decode loop;
+  * finished hypotheses propagate with one forced <pad> continuation;
+  * KV caches are physically reordered by parent index each step (a few
+    MB per step — cheap next to the shared-KV savings).
 """
 
 from __future__ import annotations
@@ -29,14 +35,30 @@ from icek_tpu.models import transformer as tfm
 NEG_INF = -1e30
 
 
-def _expand(x, K):
-    """(B, ...) -> (B*K, ...) by repeating each row K times."""
-    return jnp.repeat(x, K, axis=0)
-
-
 def _gather_parents(x, parent):
     """x: (B, K, ...), parent: (B, K) -> reorder beam dim by parent index."""
     return jax.vmap(lambda row, idx: row[idx])(x, parent)
+
+
+def _embed_tokens_beam(
+    params, vocab_size, pad_id, token, kind, ents, facts
+):
+    """token/kind: (B, K) -> (B, K, D), gathering from the SHARED per-image
+    entity/fact tables (cf. captioner.embed_captions)."""
+    E = ents.shape[1]
+    word_ids = jnp.where(token >= vocab_size, pad_id, token)
+    word_emb = params["word_embedding"][word_ids]
+    ent_ids = token - vocab_size
+    ent_ids = jnp.where((ent_ids < 0) | (ent_ids >= E), E - 1, ent_ids)
+    ent_emb = jnp.take_along_axis(ents, ent_ids[..., None], axis=1)
+    out = jnp.where((kind == 1)[..., None], ent_emb, word_emb)
+    if facts is not None:
+        F = facts.shape[1]
+        fact_ids = token - vocab_size - E
+        fact_ids = jnp.where((fact_ids < 0) | (fact_ids >= F), F - 1, fact_ids)
+        fact_emb = jnp.take_along_axis(facts, fact_ids[..., None], axis=1)
+        out = jnp.where((kind == 2)[..., None], fact_emb, out)
+    return out
 
 
 @partial(
@@ -70,15 +92,10 @@ def beam_decode(
     )
     pos_table = jnp.asarray(tfm.sinusoidal_positions(max_len, D))
     sqrt_d = math.sqrt(D)
-
-    # Broadcast the per-image context across the beam: (B*K, ...).
-    ents = _expand(ctx.entities_encoded, K)
-    facts = _expand(ctx.facts_encoded, K) if ctx.facts_encoded is not None else None
-    fact_feats = (
-        _expand(ctx.fact_features, K) if ctx.fact_features is not None else None
-    )
-    cross_kvs = tuple(
-        {"k": _expand(c["k"], K), "v": _expand(c["v"], K)} for c in ctx.cross_kvs
+    subj = (
+        ctx.fact_features[:, :, 1].astype(jnp.int32)
+        if ctx.fact_features is not None
+        else None
     )
 
     tokens = jnp.full((B, K, max_len), pad_id, jnp.int32)
@@ -97,31 +114,39 @@ def beam_decode(
     def step(state):
         (i, tokens, prev_token, prev_kind, seen, finished, lengths, log_probs,
          caches) = state
-        flat_tok = prev_token.reshape(B * K, 1)
-        flat_kind = prev_kind.reshape(B * K, 1)
-        emb = cap.embed_captions(
-            params, vocab_size, pad_id, flat_tok, flat_kind, ents, facts
+        emb = _embed_tokens_beam(
+            params, vocab_size, pad_id, prev_token, prev_kind,
+            ctx.entities_encoded, ctx.facts_encoded,
         )
-        x = emb * sqrt_d + pos_table[i]
+        x = (emb * sqrt_d + pos_table[i]).reshape(B * K, 1, D)
         h, new_caches = tfm.decoder_stack(
             params["decoder"], x, None, H,
             deterministic=True, compute_dtype=compute_dtype,
-            kv_caches=caches, cache_index=i, cross_kvs=cross_kvs,
+            kv_caches=caches, cache_index=i, cross_kvs=ctx.cross_kvs,
         )
+        h = h.reshape(B, K, D)  # beams ride the "time" axis of copy_scores
         if cfg.has_facts:
-            fact_before, pred_ind = cap.indicators_from_seen(
-                seen.reshape(B * K, -1), fact_feats, cfg.num_predicates
-            )
+            fact_before = jnp.take_along_axis(
+                seen, jnp.broadcast_to(subj[:, None, :], seen.shape[:2] + subj.shape[-1:]),
+                axis=2,
+            )  # (B, K, F)
+            pred_ind = (
+                jnp.einsum(
+                    "bkf,bfp->bkp",
+                    fact_before.astype(ctx.pred_onehot.dtype),
+                    ctx.pred_onehot,
+                )
+                > 0
+            ).astype(jnp.float32)
             scores = cap.copy_scores(
-                params, cfg, h, ents, facts,
-                fact_before[:, None, :], pred_ind[:, None, :], compute_dtype,
-            )[:, 0]
+                params, cfg, h, ctx.entities_encoded, ctx.facts_encoded,
+                fact_before, pred_ind, compute_dtype,
+            )
         else:
             scores = cap.copy_scores(
-                params, cfg, h, ents, compute_dtype=compute_dtype
-            )[:, 0]
+                params, cfg, h, ctx.entities_encoded, compute_dtype=compute_dtype
+            )
         step_logp = jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1)
-        step_logp = step_logp.reshape(B, K, S)
 
         # Finished hypotheses contribute exactly one continuation (<pad>, +0).
         pad_only = jnp.full((K, S), NEG_INF).at[:, pad_id].set(0.0)
@@ -133,7 +158,7 @@ def beam_decode(
         parent = top_idx // S
         token = (top_idx % S).astype(jnp.int32)
 
-        # Reorder state by parent beam.
+        # Reorder per-hypothesis state by parent beam.
         tokens = _gather_parents(tokens, parent)
         seen = _gather_parents(seen, parent)
         fin_parent = _gather_parents(finished, parent)
@@ -141,12 +166,10 @@ def beam_decode(
         new_caches = [
             {
                 "self": {
-                    "k": _gather_parents(
-                        c["self"]["k"].reshape(B, K, *c["self"]["k"].shape[1:]), parent
-                    ).reshape(B * K, *c["self"]["k"].shape[1:]),
-                    "v": _gather_parents(
-                        c["self"]["v"].reshape(B, K, *c["self"]["v"].shape[1:]), parent
-                    ).reshape(B * K, *c["self"]["v"].shape[1:]),
+                    name: _gather_parents(
+                        buf.reshape(B, K, *buf.shape[1:]), parent
+                    ).reshape(B * K, *buf.shape[1:])
+                    for name, buf in c["self"].items()
                 }
             }
             for c in new_caches
@@ -165,7 +188,7 @@ def beam_decode(
         ent_onehot = jax.nn.one_hot(
             jnp.clip(token - vocab_size, 0, num_entity_rows - 1),
             num_entity_rows, dtype=jnp.float32,
-        ) * is_ent[:, :, None]
+        ) * is_ent[..., None]
         seen = jnp.maximum(seen, ent_onehot)
 
         next_token = jnp.where(emit, token, pad_id)

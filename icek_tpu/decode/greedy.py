@@ -37,6 +37,7 @@ class DecodeContext(NamedTuple):
     facts_encoded: Optional[jnp.ndarray]      # (B, F, D) or None
     fact_features: Optional[jnp.ndarray]      # (B, F, 3) or None
     cross_kvs: tuple                          # per-layer cross-attention K/V
+    pred_onehot: Optional[jnp.ndarray]        # (B, F, P) predicate one-hots
 
 
 def prepare_decode_context(
@@ -50,7 +51,15 @@ def prepare_decode_context(
     cross_kvs = tfm.precompute_cross_kv(
         params["decoder"], memory, cfg.num_heads, compute_dtype
     )
-    return DecodeContext(ents, facts, fact_features, tuple(cross_kvs))
+    pred_onehot = None
+    if cfg.has_facts:
+        # materialized once so the decode loop never rebuilds the (B, F, P)
+        # one-hot tensor per step
+        pred_onehot = jax.nn.one_hot(
+            fact_features[:, :, 2].astype(jnp.int32), cfg.num_predicates,
+            dtype=compute_dtype,
+        )
+    return DecodeContext(ents, facts, fact_features, tuple(cross_kvs), pred_onehot)
 
 
 def _token_kind(token, vocab_size, num_entity_rows, has_facts):
@@ -150,7 +159,7 @@ def greedy_decode(
         )
         if cfg.has_facts:
             fact_before, pred_ind = cap.indicators_from_seen(
-                seen, ctx.fact_features, cfg.num_predicates
+                seen, ctx.fact_features, cfg.num_predicates, ctx.pred_onehot
             )
             scores = cap.copy_scores(
                 params, cfg, h, ctx.entities_encoded, ctx.facts_encoded,

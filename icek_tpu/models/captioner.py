@@ -254,14 +254,19 @@ def indicators_from_seen(
     seen: jnp.ndarray,              # (B, E) 0/1 seen-entity bitmask
     fact_features: jnp.ndarray,     # (B, F, 3)
     num_predicates: int,
+    pred_onehot: Optional[jnp.ndarray] = None,   # precomputed (B, F, P)
 ):
     """Single-step variant for the decode loop: the carry holds `seen`."""
     subj = fact_features[:, :, 1].astype(jnp.int32)
     fact_before = jnp.take_along_axis(seen, subj, axis=1)  # (B, F)
-    pred_one_hot = jax.nn.one_hot(
-        fact_features[:, :, 2].astype(jnp.int32), num_predicates, dtype=jnp.float32
+    if pred_onehot is None:
+        pred_onehot = jax.nn.one_hot(
+            fact_features[:, :, 2].astype(jnp.int32), num_predicates,
+            dtype=jnp.float32,
+        )
+    pred_ind = jnp.einsum(
+        "bf,bfp->bp", fact_before.astype(pred_onehot.dtype), pred_onehot
     )
-    pred_ind = jnp.einsum("bf,bfp->bp", fact_before, pred_one_hot)
     return fact_before, (pred_ind > 0).astype(jnp.float32)
 
 

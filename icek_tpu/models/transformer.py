@@ -113,6 +113,19 @@ def multi_head_attention(
     if precomputed_kv is not None:
         k = precomputed_kv["k"].astype(compute_dtype)
         v = precomputed_kv["v"].astype(compute_dtype)
+        if k.shape[0] != B:
+            # KV shared across beam groups: fold the beam factor into the
+            # query-position axis so the big KV tensors are read once per
+            # step, not once per hypothesis.
+            G = B // k.shape[0]
+            qg = q.reshape(k.shape[0], G * Tq, H, Hd)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qg, k) / math.sqrt(Hd)
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", weights.astype(compute_dtype), v
+            )
+            out = out.reshape(B, Tq, D)
+            return linear(params["out"], out, compute_dtype), None
     else:
         kv_proj = kv_in.astype(compute_dtype) @ w[:, D:] + b[D:]
         k, v = jnp.split(kv_proj, 2, axis=-1)
