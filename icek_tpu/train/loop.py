@@ -11,6 +11,7 @@ Differences from the reference by design:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Dict, Optional
 
@@ -23,6 +24,7 @@ from icek_tpu.data import dataset as ds
 from icek_tpu.models import captioner, resnet
 from icek_tpu.train import checkpoint as ckpt
 from icek_tpu.train import step as step_lib
+from icek_tpu.utils import profiling
 
 
 class Meter:
@@ -157,6 +159,11 @@ def train(
         encode_images=tc.fine_tune_encoder,
     )
 
+    metric_log = profiling.MetricLogger(
+        os.environ.get("ICEK_METRICS_LOG") or None
+    )
+    profile_dir = profiling.profile_dir_from_env()
+
     epochs = max_epochs if max_epochs is not None else tc.epochs
     epoch = start_epoch
     for epoch in range(start_epoch, epochs):
@@ -168,14 +175,19 @@ def train(
                 "DECAYING learning rate to "
                 f"{float(opt_state.hyperparams['learning_rate']):.6f}"
             )
-        params, opt_state, _ = run_epoch(
-            train_step, params, opt_state, encoder_params, train_data,
-            tc.batch_size, jax.random.fold_in(k_train, epoch), epoch,
-            tc.print_freq, log,
-        )
+        with profiling.trace(profile_dir if epoch == start_epoch else None):
+            params, opt_state, train_loss = run_epoch(
+                train_step, params, opt_state, encoder_params, train_data,
+                tc.batch_size, jax.random.fold_in(k_train, epoch), epoch,
+                tc.print_freq, log,
+            )
         val_loss = run_validation(
             eval_step, params, encoder_params, val_data, tc.batch_size,
             tc.print_freq, log,
+        )
+        metric_log.log(
+            "epoch", epoch=epoch, train_loss=train_loss, val_loss=val_loss,
+            lr=float(opt_state.hyperparams["learning_rate"]),
         )
         is_best = val_loss < best_loss
         best_loss = min(val_loss, best_loss)

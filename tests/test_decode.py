@@ -158,3 +158,39 @@ def test_beam_search_improves_on_beam1(rng, variant):
     assert tokens5.shape == (B, max_len)
     # beam-5 explores a superset of beam-1 prefixes
     assert np.all(np.asarray(score5) >= np.asarray(score1) - 1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_greedy_matches_reference_predict_news(rng, seed):
+    """News variant: article features + name-embedding entity encoder."""
+    ref_models, _ = reference_subproject("news-knowledge-aware")
+    torch_seed(20 + seed)
+    wm = _toy_wordmap()
+    V = len(wm)
+    cfg = small_cfg("news")
+    E, F, P, max_len = 7, 6, cfg.num_predicates, 10
+    local_rng = np.random.default_rng(seed)
+
+    ref = _small_ref_model(ref_models, wm, cfg, "news")
+    params = port.import_captioner_state(ref.state_dict(), cfg)
+
+    img = local_rng.standard_normal((1, 4, D)).astype(np.float32)
+    ents = _geo_entities(local_rng, 1, E)
+    ents[:, :, 4] = local_rng.integers(0, cfg.type_vocab, (1, E))
+    name_ids = local_rng.integers(0, V, (1, E, 5)).astype(np.float32)
+    ents = np.concatenate([ents, name_ids], axis=-1)
+    facts = _facts(local_rng, 1, F, E, P)
+
+    with torch.no_grad():
+        want = ref.predict(
+            torch.tensor(img).permute(0, 2, 1), max_len,
+            torch.tensor(ents), torch.tensor(facts.astype(np.int64)),
+        ).numpy()[:, 0]
+    ctx = greedy.prepare_decode_context(
+        params, cfg, jnp.asarray(img), jnp.asarray(ents), jnp.asarray(facts)
+    )
+    got = greedy.greedy_decode(
+        params, cfg, V, E, wm["<start>"], wm["<end>"], wm["<pad>"],
+        ctx, max_len,
+    )
+    np.testing.assert_array_equal(np.asarray(got)[0], want)
