@@ -160,12 +160,32 @@ def _strip_pad(chars: Sequence[int]) -> str:
     return "^".join(str(c) for c in chars if c != PAD_CHAR)
 
 
+def _native_fuzzy():
+    try:
+        from icek_tpu import native
+
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def fuzzy_lookup_entity(token: str, index: Dict[tuple, int]) -> Optional[int]:
     """Exact, then longest-substring match of a caption entity token against
-    the context name index (reference: geo-aware/create_input_files.py:221-249)."""
+    the context name index (reference: geo-aware/create_input_files.py:221-249).
+
+    The quadratic fuzzy scan runs through the C++ extension when available
+    (icek_tpu/native); the pure-Python path is semantics-identical.
+    """
     packed = tuple(encode_name(token))
     if packed in index:
         return index[packed]
+    native = _native_fuzzy()
+    if native is not None:
+        keys = list(index.keys())
+        row = native.fuzzy_lookup(list(packed), np.asarray(keys, dtype=np.int32))
+        return index[keys[row]] if row >= 0 else None
     token_key = _strip_pad(packed)
     best_key, best_len = None, 0
     for cand in index:
@@ -188,6 +208,16 @@ def fuzzy_lookup_fact(
             hit = index[(packed, ent)]
     if hit is not None:
         return hit
+    native = _native_fuzzy()
+    if native is not None:
+        pairs = list(index.keys())
+        seen = set(seen_entities)
+        allowed = np.asarray(
+            [1 if ent in seen else 0 for (_, ent) in pairs], dtype=np.uint8
+        )
+        keys = np.asarray([cand for (cand, _) in pairs], dtype=np.int32)
+        row = native.fuzzy_lookup(list(packed), keys, allowed)
+        return index[pairs[row]] if row >= 0 else None
     token_key = _strip_pad(packed)
     best, best_len = None, 0
     for (cand, cand_ent) in index:

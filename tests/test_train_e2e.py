@@ -207,3 +207,108 @@ def test_eval_driver_and_scores(tmp_path):
     )
     for name in ("Bleu_1", "Bleu_4", "CIDEr", "METEOR", "ROUGE_L"):
         assert name in scores and np.isfinite(scores[name])
+
+
+def tiny_knowledge_cfg():
+    base = config_lib.k_georic()
+    return base.replace(
+        model=dataclasses.replace(
+            base.model,
+            emb_dim=20, decoder_ffn_dim=32, encoder_ffn_dim=32,
+            num_heads=2, num_layers=1, type_vocab=50,
+            num_predicates=12, num_entity_feature_dims=6,
+            encoded_image_size=4,
+        ),
+        data=dataclasses.replace(
+            base.data,
+            base_name="tiny_knowledge", entity_context_size=6,
+            fact_context_size=4, max_caption_len=12, img_size=32,
+            fact_random_ranges=((6, 6), (0, 0)),
+        ),
+        train=dataclasses.replace(base.train, batch_size=4, print_freq=1),
+    )
+
+
+def make_raw_knowledge_dataset(tmp_path, n_images=10):
+    pd = pytest.importorskip("pandas")
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    images, entity_contexts, knowledge_contexts = [], {}, {}
+    for i in range(n_images):
+        arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img{i}.jpg")
+        url = f"http://example.com/{i}"
+        split = "train" if i < 6 else ("val" if i < 8 else "test")
+        tokens = ["the", "tower_bridge", "built", "in", "1894"]
+        mask = [0, 1, 0, 0, 2]
+        images.append({"tokens": tokens, "mask": mask, "url": url,
+                       "id": f"img{i}", "split": split})
+        entity_contexts[url] = pd.DataFrame(
+            {
+                "name": ["Tower Bridge", "River Thames"],
+                "distance": [0.1, 0.4], "azimuth": [12.0, -45.0],
+                "size": [0.02, 0.08], "type_index": [3, 7],
+            }
+        )
+        knowledge_contexts[url] = pd.DataFrame(
+            {
+                "object": ["1894", "horace_jones"],
+                "subject_idx_in_entity_context": [0, 0],
+                "predicate_idx": [2, 5],
+            }
+        )
+    with open(tmp_path / "captions_split.json", "w") as f:
+        json.dump({"images": images}, f)
+    with open(tmp_path / "entity_context.pkl", "wb") as f:
+        pickle.dump(entity_contexts, f)
+    with open(tmp_path / "knowledge_context.pkl", "wb") as f:
+        pickle.dump(knowledge_contexts, f)
+    return tmp_path
+
+
+def test_knowledge_end_to_end(tmp_path):
+    """Full knowledge-preset slice: facts files -> train -> batched eval with
+    the random-fact baseline CSV."""
+    import pandas as pd
+
+    from icek_tpu import eval_driver
+    from icek_tpu.train import checkpoint as ckpt_lib
+
+    cfg = tiny_knowledge_cfg()
+    raw = make_raw_knowledge_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    writer = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir),
+        knowledge_context_path=str(raw / "knowledge_context.pkl"), seed=0,
+    )
+    wm = writer.run()
+    for kind in ("FACTS", "FACT_NAMES"):
+        assert (out_dir / f"TRAIN_{kind}_tiny_knowledge.pkl").exists()
+
+    train_data = ds.CaptionDataset(str(out_dir), "tiny_knowledge", "TRAIN", True)
+    assert train_data.arrays.fact_features.shape == (6, 5, 3)
+
+    ckpt_dir = tmp_path / "ckpts"
+    result = train_loop.train(
+        cfg, str(out_dir), len(wm), wm.pad_id,
+        checkpoint_dir=str(ckpt_dir), max_epochs=1, log=lambda s: None,
+    )
+    assert np.isfinite(result.best_loss)
+
+    test_data = ds.CaptionDataset(str(out_dir), "tiny_knowledge", "TEST", True)
+    evaluator = eval_driver.Evaluator(
+        cfg, wm, result.params, result.encoder_params, batch_size=2, beam_size=2,
+    )
+    predicate_to_objects = {"p2": ["1894"], "p5": ["horace_jones"]}
+    csv_path = tmp_path / "generated_captions.csv"
+    out = evaluator.run(
+        test_data, predicate_to_objects=predicate_to_objects,
+        output_csv=str(csv_path), log=lambda s: None,
+    )
+    assert csv_path.exists()
+    assert (tmp_path / "generated_captions_random_facts.csv").exists()
+    assert len(out["captions"]) == 2
