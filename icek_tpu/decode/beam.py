@@ -5,17 +5,20 @@ geo-aware/models.py:412); this is the framework's default high-quality
 decoder and the unit the north-star benchmark measures (encode + beam-5).
 
 Design notes (HBM-bandwidth-first):
-  * hypotheses live as a beam axis K folded into batch ONLY for per-
-    hypothesis state (self-attention KV caches, tokens, seen-masks);
+  * hypotheses live on an explicit beam axis K; per-hypothesis state is
+    (B, K, ...);
   * everything static per image — cross-attention K/V of the 196+E+F
     memory, the encoded entity/fact tables, the predicate one-hots —
     stays at batch B and is read ONCE per step, with the K hypotheses
     riding the query-position axis (see transformer.multi_head_attention's
-    shared-KV path).  This cuts per-step HBM traffic by ~K x, which is
-    the dominant cost of the decode loop;
-  * finished hypotheses propagate with one forced <pad> continuation;
-  * KV caches are physically reordered by parent index each step (a few
-    MB per step — cheap next to the shared-KV savings).
+    shared-KV path).  This cuts per-step HBM traffic by ~K x;
+  * self-attention KV caches are NEVER physically reordered by parent
+    (profiling showed the reorder gathers + while-carry copies dominating
+    the step).  Each hypothesis writes its step-i K/V into its own slot
+    and an (B, K, L) ancestry index records which slot holds each history
+    position; attention gathers through the ancestry at read time — the
+    cache is read once per layer instead of read+write+copy;
+  * finished hypotheses propagate with one forced <pad> continuation.
 """
 
 from __future__ import annotations
@@ -38,6 +41,100 @@ NEG_INF = -1e30
 def _gather_parents(x, parent):
     """x: (B, K, ...), parent: (B, K) -> reorder beam dim by parent index."""
     return jax.vmap(lambda row, idx: row[idx])(x, parent)
+
+
+def _beam_self_attention(mha, x, cache, anc, i, num_heads, compute_dtype):
+    """Ancestry-indirect cached self-attention for one decode step.
+
+    x: (B, K, D); cache: {"k","v"} of (B, K, L, H, Hd); anc: (B, K, L) slot
+    index of each history position's K/V.  Writes this step's K/V at the
+    hypothesis's own slot and attends over the gathered ancestor rows.
+    Returns (attn_out (B, K, D), new_cache).
+    """
+    B, K, D = x.shape
+    H = num_heads
+    Hd = D // H
+    w = mha["qkv_w"].astype(compute_dtype)
+    b = mha["qkv_b"].astype(compute_dtype)
+    proj = x.astype(compute_dtype) @ w + b
+    q, k_new, v_new = jnp.split(proj, 3, axis=-1)
+    q = q.reshape(B, K, H, Hd)
+    cache_dt = cache["k"].dtype
+    # caches are (L, B, K, H, Hd): the step-i write is one contiguous
+    # leading-dim row, which XLA updates in place inside the while loop
+    k_cache = jax.lax.dynamic_update_slice(
+        cache["k"], k_new.reshape(1, B, K, H, Hd).astype(cache_dt), (i, 0, 0, 0, 0)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        cache["v"], v_new.reshape(1, B, K, H, Hd).astype(cache_dt), (i, 0, 0, 0, 0)
+    )
+    L = k_cache.shape[0]
+    # Dense attention over ALL K slots x L positions, then a one-hot
+    # ancestry contraction.  Fine-grained take_along_axis gathers over the
+    # slot axis read the cache in ~600B rows and force full-buffer copies
+    # (profiled); scoring every slot instead reads the cache once,
+    # contiguously, through the MXU, and the (B,K,H,K,L) intermediate is
+    # tiny next to the cache itself.
+    onehot_anc = jax.nn.one_hot(anc, K, dtype=compute_dtype)       # (B,K,L,K')
+    logits_all = jnp.einsum(
+        "bkhd,lbmhd->bkhml", q, k_cache.astype(compute_dtype)
+    ) / math.sqrt(Hd)                                               # (B,K,H,K',L)
+    logits = jnp.einsum(
+        "bkhml,bklm->bkhl", logits_all.astype(jnp.float32),
+        onehot_anc.astype(jnp.float32),
+    )
+    valid = jnp.arange(L) <= i
+    logits = jnp.where(valid[None, None, None, :], logits, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=-1)                       # (B,K,H,L)
+    slot_weights = jnp.einsum(
+        "bkhl,bklm->bkhml", weights, onehot_anc.astype(jnp.float32)
+    ).astype(compute_dtype)
+    out = jnp.einsum(
+        "bkhml,lbmhd->bkhd", slot_weights, v_cache.astype(compute_dtype)
+    ).reshape(B, K, D)
+    out = tfm.linear(mha["out"], out, compute_dtype)
+    return out, {"k": k_cache, "v": v_cache}
+
+
+def _beam_cross_attention(mha, x, cross_kv, num_heads, compute_dtype):
+    """Cross-attention of (B, K, D) queries over shared (B, M, H, Hd) KV."""
+    B, K, D = x.shape
+    H = num_heads
+    Hd = D // H
+    w = mha["qkv_w"].astype(compute_dtype)
+    b = mha["qkv_b"].astype(compute_dtype)
+    q = (x.astype(compute_dtype) @ w[:, :D] + b[:D]).reshape(B, K, H, Hd)
+    k = cross_kv["k"].astype(compute_dtype)
+    v = cross_kv["v"].astype(compute_dtype)
+    logits = jnp.einsum("bkhd,bmhd->bkhm", q, k) / math.sqrt(Hd)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bkhm,bmhd->bkhd", weights.astype(compute_dtype), v
+    ).reshape(B, K, D)
+    return tfm.linear(mha["out"], out, compute_dtype)
+
+
+def _beam_decoder_step(decoder_params, x, caches, anc, i, cross_kvs,
+                       num_heads, compute_dtype):
+    """All decoder layers for one beam step; x: (B, K, D)."""
+    new_caches = []
+    for layer, cache, cross in zip(decoder_params["layers"], caches, cross_kvs):
+        attn, new_cache = _beam_self_attention(
+            layer["self_attn"], x, cache, anc, i, num_heads, compute_dtype
+        )
+        x = tfm.layer_norm(layer["norm1"], x + attn)
+        cross_out = _beam_cross_attention(
+            layer["cross_attn"], x, cross, num_heads, compute_dtype
+        )
+        x = tfm.layer_norm(layer["norm2"], x + cross_out)
+        ff = tfm.linear(
+            layer["ffn"]["lin2"],
+            jax.nn.relu(tfm.linear(layer["ffn"]["lin1"], x, compute_dtype)),
+            compute_dtype,
+        )
+        x = tfm.layer_norm(layer["norm3"], x + ff)
+        new_caches.append(new_cache)
+    return x, new_caches
 
 
 def _embed_tokens_beam(
@@ -106,25 +203,36 @@ def beam_decode(
     lengths = jnp.zeros((B, K), jnp.int32)
     # Only beam 0 is alive at step 0 (all beams start identical).
     log_probs = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones((B, 1))
-    caches = tfm.init_self_kv_cache(
-        cfg.num_layers, B * K, max_len, H, D // H,
-        jnp.float32 if compute_dtype == jnp.float32 else compute_dtype,
+    cache_dt = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+    caches = [
+        {
+            "k": jnp.zeros((max_len, B, K, H, D // H), cache_dt),
+            "v": jnp.zeros((max_len, B, K, H, D // H), cache_dt),
+        }
+        for _ in range(cfg.num_layers)
+    ]
+    ancestry = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, max_len)
     )
 
     def step(state):
         (i, tokens, prev_token, prev_kind, seen, finished, lengths, log_probs,
-         caches) = state
+         caches, ancestry) = state
+        # this step's K/V land in the hypothesis's own slot
+        ancestry = jax.lax.dynamic_update_slice(
+            ancestry,
+            jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, 1)),
+            (0, 0, i),
+        )
         emb = _embed_tokens_beam(
             params, vocab_size, pad_id, prev_token, prev_kind,
             ctx.entities_encoded, ctx.facts_encoded,
         )
-        x = (emb * sqrt_d + pos_table[i]).reshape(B * K, 1, D)
-        h, new_caches = tfm.decoder_stack(
-            params["decoder"], x, None, H,
-            deterministic=True, compute_dtype=compute_dtype,
-            kv_caches=caches, cache_index=i, cross_kvs=ctx.cross_kvs,
+        x = emb * sqrt_d + pos_table[i]
+        h, new_caches = _beam_decoder_step(
+            params["decoder"], x, caches, ancestry, i, ctx.cross_kvs, H,
+            compute_dtype,
         )
-        h = h.reshape(B, K, D)  # beams ride the "time" axis of copy_scores
         if cfg.has_facts:
             fact_before = jnp.take_along_axis(
                 seen, jnp.broadcast_to(subj[:, None, :], seen.shape[:2] + subj.shape[-1:]),
@@ -158,22 +266,13 @@ def beam_decode(
         parent = top_idx // S
         token = (top_idx % S).astype(jnp.int32)
 
-        # Reorder per-hypothesis state by parent beam.
+        # Reorder the SMALL per-hypothesis state by parent beam; the KV
+        # caches stay in place — only the ancestry rows are gathered.
         tokens = _gather_parents(tokens, parent)
         seen = _gather_parents(seen, parent)
         fin_parent = _gather_parents(finished, parent)
         len_parent = _gather_parents(lengths, parent)
-        new_caches = [
-            {
-                "self": {
-                    name: _gather_parents(
-                        buf.reshape(B, K, *buf.shape[1:]), parent
-                    ).reshape(B * K, *buf.shape[1:])
-                    for name, buf in c["self"].items()
-                }
-            }
-            for c in new_caches
-        ]
+        ancestry = _gather_parents(ancestry, parent)
 
         emit = ~fin_parent
         write_tok = jnp.where(emit, token, pad_id)
@@ -195,7 +294,7 @@ def beam_decode(
         next_kind = jnp.where(emit, kind, 0)
         return (
             i + 1, tokens, next_token, next_kind, seen, now_finished, lengths,
-            top_vals, new_caches,
+            top_vals, new_caches, ancestry,
         )
 
     def cond(state):
@@ -204,7 +303,7 @@ def beam_decode(
 
     state = (
         jnp.int32(0), tokens, prev_token, prev_kind, seen, finished, lengths,
-        log_probs, caches,
+        log_probs, caches, ancestry,
     )
     state = jax.lax.while_loop(cond, step, state)
     tokens, lengths, log_probs = state[1], state[6], state[7]
