@@ -194,3 +194,126 @@ def test_greedy_matches_reference_predict_news(rng, seed):
         ctx, max_len,
     )
     np.testing.assert_array_equal(np.asarray(got)[0], want)
+
+
+def _oracle_beam(params, cfg, wm, img, ents, facts, K, max_len):
+    """Exhaustive full-redecode beam search in numpy (no caches, no
+    ancestry) — the correctness oracle for beam_decode."""
+    import math as m
+
+    from icek_tpu.models import captioner as cap
+    from icek_tpu.models import transformer as tfm
+
+    V = len(wm)
+    E = ents.shape[1]
+    memory, ents_enc, facts_enc = cap.encode_memory(
+        params, cfg, jnp.asarray(img), jnp.asarray(ents),
+        jnp.asarray(facts) if facts is not None else None,
+    )
+    pos = tfm.sinusoidal_positions(max_len, cfg.emb_dim)
+
+    def step_scores(prefix_tokens, prefix_kinds, seen):
+        T = len(prefix_tokens)
+        ids = jnp.asarray(np.array(prefix_tokens)[None, :])
+        kinds = jnp.asarray(np.array(prefix_kinds)[None, :])
+        emb = cap.embed_captions(params, V, wm["<pad>"], ids, kinds,
+                                 ents_enc, facts_enc)
+        x = emb * m.sqrt(cfg.emb_dim) + jnp.asarray(pos[:T])
+        h, _ = tfm.decoder_stack(
+            params["decoder"], x, memory, cfg.num_heads,
+            causal_mask=tfm.causal_mask(T),
+        )
+        h_last = h[:, -1:]
+        if cfg.has_facts:
+            seen_vec = np.zeros((1, E), np.float32)
+            for e in seen:
+                seen_vec[0, e] = 1.0
+            fb, pi = cap.indicators_from_seen(
+                jnp.asarray(seen_vec), jnp.asarray(facts), cfg.num_predicates
+            )
+            scores = cap.copy_scores(params, cfg, h_last, ents_enc, facts_enc,
+                                     fb[:, None, :], pi[:, None, :])
+        else:
+            scores = cap.copy_scores(params, cfg, h_last, ents_enc)
+        return np.asarray(jax.nn.log_softmax(scores[0, 0]))
+
+    S = V + E + (facts.shape[1] if facts is not None else 0)
+    hyps = [
+        {"tokens": [], "fed": [wm["<start>"]], "kinds": [0], "logp": 0.0,
+         "seen": set(), "finished": False}
+    ]
+    for i in range(max_len):
+        if all(h["finished"] for h in hyps):
+            break
+        candidates = []
+        for h in hyps:
+            if h["finished"]:
+                candidates.append((h["logp"], h, wm["<pad>"]))
+                continue
+            logp = step_scores(h["fed"], h["kinds"], h["seen"])
+            order = np.argsort(-logp, kind="stable")[:K]
+            for tok in order:
+                candidates.append((h["logp"] + float(logp[tok]), h, int(tok)))
+        candidates.sort(key=lambda c: -c[0])
+        new_hyps = []
+        for logp, parent, tok in candidates[:K]:
+            h = {
+                "tokens": list(parent["tokens"]),
+                "fed": list(parent["fed"]),
+                "kinds": list(parent["kinds"]),
+                "logp": logp,
+                "seen": set(parent["seen"]),
+                "finished": parent["finished"],
+            }
+            if not h["finished"]:
+                h["tokens"].append(tok)
+                kind = 0
+                if facts is not None and tok >= V + E:
+                    kind = 2
+                elif tok >= V:
+                    kind = 1
+                    h["seen"].add(tok - V)
+                h["fed"].append(tok if tok != wm["<end>"] else wm["<pad>"])
+                h["kinds"].append(kind if tok != wm["<end>"] else 0)
+                if tok == wm["<end>"]:
+                    h["finished"] = True
+            new_hyps.append(h)
+        hyps = new_hyps
+    best = max(hyps, key=lambda h: h["logp"])
+    padded = best["tokens"] + [wm["<pad>"]] * (max_len - len(best["tokens"]))
+    return padded, best["logp"]
+
+
+@pytest.mark.parametrize("variant", ["geo", "knowledge"])
+def test_beam_matches_bruteforce_oracle(rng, variant):
+    from icek_tpu.decode import beam
+
+    subproject = {"geo": "geo-aware", "knowledge": "knowledge-aware"}[variant]
+    ref_models, _ = reference_subproject(subproject)
+    torch_seed(33)
+    wm = _toy_wordmap()
+    V = len(wm)
+    cfg = small_cfg(variant)
+    E, F, K, max_len = 6, 5, 3, 6
+    ref = _small_ref_model(ref_models, wm, cfg, variant)
+    params = port.import_captioner_state(ref.state_dict(), cfg)
+
+    for b in range(3):
+        local = np.random.default_rng(100 + b)
+        img = local.standard_normal((1, 4, D)).astype(np.float32)
+        ents = _geo_entities(local, 1, E)
+        facts = _facts(local, 1, F, E, cfg.num_predicates) if variant != "geo" else None
+
+        want_tokens, want_logp = _oracle_beam(
+            params, cfg, wm, img, ents, facts, K, max_len
+        )
+        ctx = greedy.prepare_decode_context(
+            params, cfg, jnp.asarray(img), jnp.asarray(ents),
+            jnp.asarray(facts) if facts is not None else None,
+        )
+        got_tokens, got_logp = beam.beam_decode(
+            params, cfg, V, E, wm["<start>"], wm["<end>"], wm["<pad>"],
+            ctx, max_len, beam_size=K, length_normalize=False,
+        )
+        assert list(np.asarray(got_tokens)[0]) == want_tokens, b
+        np.testing.assert_allclose(float(got_logp[0]), want_logp, atol=1e-3)
