@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from icek_tpu.core.config import ModelConfig
+from icek_tpu.decode import topk
 from icek_tpu.decode.greedy import DecodeContext, _token_kind
 from icek_tpu.models import captioner as cap
 from icek_tpu.models import transformer as tfm
@@ -43,12 +44,35 @@ def _gather_parents(x, parent):
     return jax.vmap(lambda row, idx: row[idx])(x, parent)
 
 
-def _beam_self_attention(mha, x, cache, anc, i, num_heads, compute_dtype):
+def _head_mask(H: int, Hd: int) -> jnp.ndarray:
+    """(H, H*Hd) block mask: row h is 1 on head h's feature dims.
+
+    d_model=300 / head_dim=30 is lane-hostile on TPU (SURVEY.md §7); the
+    head mask turns per-head attention into full-width GEMMs with no
+    sub-128-lane reshapes.
+    """
+    import numpy as np
+
+    return jnp.asarray(np.kron(np.eye(H), np.ones((1, Hd))).astype(np.float32))
+
+
+def _group_matrix(L: int, K: int) -> jnp.ndarray:
+    """(L*K, L): sums the K slot entries of each history position."""
+    import numpy as np
+
+    return jnp.asarray(np.kron(np.eye(L), np.ones((K, 1))).astype(np.float32))
+
+
+def _beam_self_attention(mha, x, cache, sel, i, num_heads, head_mask, group,
+                         compute_dtype):
     """Ancestry-indirect cached self-attention for one decode step.
 
-    x: (B, K, D); cache: {"k","v"} of (B, K, L, H, Hd); anc: (B, K, L) slot
-    index of each history position's K/V.  Writes this step's K/V at the
-    hypothesis's own slot and attends over the gathered ancestor rows.
+    x: (B, K, D); cache: {"k","v"} of (B, L*K, D) — row l*K+m holds slot m's
+    step-l key/value; sel: (B, K*H, L*K) 0/1 ancestry selector (row k*H+h
+    selects the (l, anc[k,l]) entries).  Everything is full-width batched
+    GEMM: XLA keeps the cache row-major so the step-i write (K contiguous
+    rows at offset i*K) stays in place — 5-D einsum formulations forced a
+    permuted cache layout and full-buffer copies every step (profiled).
     Returns (attn_out (B, K, D), new_cache).
     """
     B, K, D = x.shape
@@ -58,40 +82,28 @@ def _beam_self_attention(mha, x, cache, anc, i, num_heads, compute_dtype):
     b = mha["qkv_b"].astype(compute_dtype)
     proj = x.astype(compute_dtype) @ w + b
     q, k_new, v_new = jnp.split(proj, 3, axis=-1)
-    q = q.reshape(B, K, H, Hd)
     cache_dt = cache["k"].dtype
-    # caches are (L, B, K, H, Hd): the step-i write is one contiguous
-    # leading-dim row, which XLA updates in place inside the while loop
     k_cache = jax.lax.dynamic_update_slice(
-        cache["k"], k_new.reshape(1, B, K, H, Hd).astype(cache_dt), (i, 0, 0, 0, 0)
+        cache["k"], k_new.astype(cache_dt), (0, i * K, 0)
     )
     v_cache = jax.lax.dynamic_update_slice(
-        cache["v"], v_new.reshape(1, B, K, H, Hd).astype(cache_dt), (i, 0, 0, 0, 0)
+        cache["v"], v_new.astype(cache_dt), (0, i * K, 0)
     )
-    L = k_cache.shape[0]
-    # Dense attention over ALL K slots x L positions, then a one-hot
-    # ancestry contraction.  Fine-grained take_along_axis gathers over the
-    # slot axis read the cache in ~600B rows and force full-buffer copies
-    # (profiled); scoring every slot instead reads the cache once,
-    # contiguously, through the MXU, and the (B,K,H,K,L) intermediate is
-    # tiny next to the cache itself.
-    onehot_anc = jax.nn.one_hot(anc, K, dtype=compute_dtype)       # (B,K,L,K')
+    L = k_cache.shape[1] // K
+    hm = head_mask.astype(compute_dtype)
+    # per-head queries as masked full-width rows: (B, K*H, D)
+    qh = (q[:, :, None, :] * hm[None, None]).reshape(B, K * H, D)
     logits_all = jnp.einsum(
-        "bkhd,lbmhd->bkhml", q, k_cache.astype(compute_dtype)
-    ) / math.sqrt(Hd)                                               # (B,K,H,K',L)
-    logits = jnp.einsum(
-        "bkhml,bklm->bkhl", logits_all.astype(jnp.float32),
-        onehot_anc.astype(jnp.float32),
-    )
+        "bqd,bnd->bqn", qh, k_cache.astype(compute_dtype)
+    ) / math.sqrt(Hd)                                        # (B, K*H, L*K)
+    masked = logits_all.astype(jnp.float32) * sel
+    lg = jnp.einsum("bqn,nl->bql", masked, group)            # (B, K*H, L)
     valid = jnp.arange(L) <= i
-    logits = jnp.where(valid[None, None, None, :], logits, -jnp.inf)
-    weights = jax.nn.softmax(logits, axis=-1)                       # (B,K,H,L)
-    slot_weights = jnp.einsum(
-        "bkhl,bklm->bkhml", weights, onehot_anc.astype(jnp.float32)
-    ).astype(compute_dtype)
-    out = jnp.einsum(
-        "bkhml,lbmhd->bkhd", slot_weights, v_cache.astype(compute_dtype)
-    ).reshape(B, K, D)
+    lg = jnp.where(valid[None, None, :], lg, -jnp.inf)
+    weights = jax.nn.softmax(lg, axis=-1)
+    slot_w = (jnp.einsum("bql,nl->bqn", weights, group) * sel).astype(compute_dtype)
+    out_h = jnp.einsum("bqn,bnd->bqd", slot_w, v_cache.astype(compute_dtype))
+    out = jnp.sum(out_h.reshape(B, K, H, D) * hm[None, None], axis=2)
     out = tfm.linear(mha["out"], out, compute_dtype)
     return out, {"k": k_cache, "v": v_cache}
 
@@ -115,12 +127,19 @@ def _beam_cross_attention(mha, x, cross_kv, num_heads, compute_dtype):
 
 
 def _beam_decoder_step(decoder_params, x, caches, anc, i, cross_kvs,
-                       num_heads, compute_dtype):
+                       num_heads, head_mask, group, compute_dtype):
     """All decoder layers for one beam step; x: (B, K, D)."""
+    B, K, D = x.shape
+    H = num_heads
+    LK = caches[0]["k"].shape[1]
+    # ancestry selector shared by all layers: (B, K*H, L*K)
+    sel = jax.nn.one_hot(anc, K, dtype=jnp.float32).reshape(B, K, LK)
+    sel = jnp.repeat(sel, H, axis=1)
     new_caches = []
     for layer, cache, cross in zip(decoder_params["layers"], caches, cross_kvs):
         attn, new_cache = _beam_self_attention(
-            layer["self_attn"], x, cache, anc, i, num_heads, compute_dtype
+            layer["self_attn"], x, cache, sel, i, num_heads, head_mask, group,
+            compute_dtype,
         )
         x = tfm.layer_norm(layer["norm1"], x + attn)
         cross_out = _beam_cross_attention(
@@ -206,11 +225,13 @@ def beam_decode(
     cache_dt = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
     caches = [
         {
-            "k": jnp.zeros((max_len, B, K, H, D // H), cache_dt),
-            "v": jnp.zeros((max_len, B, K, H, D // H), cache_dt),
+            "k": jnp.zeros((B, max_len * K, D), cache_dt),
+            "v": jnp.zeros((B, max_len * K, D), cache_dt),
         }
         for _ in range(cfg.num_layers)
     ]
+    head_mask = _head_mask(H, D // H)
+    group = _group_matrix(max_len, K)
     ancestry = jnp.broadcast_to(
         jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, max_len)
     )
@@ -231,7 +252,7 @@ def beam_decode(
         x = emb * sqrt_d + pos_table[i]
         h, new_caches = _beam_decoder_step(
             params["decoder"], x, caches, ancestry, i, ctx.cross_kvs, H,
-            compute_dtype,
+            head_mask, group, compute_dtype,
         )
         if cfg.has_facts:
             fact_before = jnp.take_along_axis(
@@ -262,7 +283,7 @@ def beam_decode(
 
         total = log_probs[:, :, None] + step_logp          # (B, K, S)
         flat_total = total.reshape(B, K * S)
-        top_vals, top_idx = jax.lax.top_k(flat_total, K)   # (B, K)
+        top_vals, top_idx = topk.top_k(flat_total, K)      # (B, K)
         parent = top_idx // S
         token = (top_idx % S).astype(jnp.int32)
 

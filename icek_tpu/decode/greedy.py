@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from icek_tpu.core.config import ModelConfig
+from icek_tpu.decode import topk
 from icek_tpu.models import captioner as cap
 from icek_tpu.models import transformer as tfm
 
@@ -170,7 +171,7 @@ def greedy_decode(
                 params, cfg, h, ctx.entities_encoded, compute_dtype=compute_dtype
             )[:, 0]
 
-        top2_vals, top2_idx = jax.lax.top_k(scores, 2)
+        top2_vals, top2_idx = topk.top_k(scores, 2)
         out_raw = top2_idx[:, 0].astype(jnp.int32)
         runner_up = top2_idx[:, 1].astype(jnp.int32)
 

@@ -1,0 +1,34 @@
+"""Exact top-k via iterative argmax.
+
+``jax.lax.top_k`` lowers to a full sort on this TPU backend — profiled at
+~1.7 ms/step on (256, 10301) scores, the single largest cost of the greedy
+decode loop.  For the tiny k of beam/greedy decoding (k <= ~8), k passes of
+argmax + masking are exact (identical first-occurrence tie-breaking: argmax
+returns the first maximum, and masking removes already-taken positions) and
+run as cheap VPU max-reductions instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def top_k(x: jnp.ndarray, k: int):
+    """Drop-in replacement for jax.lax.top_k on the last axis (small k).
+
+    Returns (values, indices), values sorted descending, ties broken by
+    ascending index — the lax.top_k contract.
+    """
+    n = x.shape[-1]
+    positions = jnp.arange(n, dtype=jnp.int32)
+    work = x
+    vals = []
+    idxs = []
+    for _ in range(k):
+        idx = jnp.argmax(work, axis=-1).astype(jnp.int32)
+        val = jnp.take_along_axis(x, idx[..., None], axis=-1)[..., 0]
+        vals.append(val)
+        idxs.append(idx)
+        work = jnp.where(positions == idx[..., None], -jnp.inf, work)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
