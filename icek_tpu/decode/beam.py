@@ -39,6 +39,19 @@ from icek_tpu.models import transformer as tfm
 NEG_INF = -1e30
 
 
+def _cast_float_params(params, compute_dtype):
+    """Cast float weights to the compute dtype once, so the decode loop
+    carries no per-step convert/copy ops for the parameter tensors."""
+    if compute_dtype == jnp.float32:
+        return params
+    return jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        params,
+    )
+
+
 def _gather_parents(x, parent):
     """x: (B, K, ...), parent: (B, K) -> reorder beam dim by parent index."""
     return jax.vmap(lambda row, idx: row[idx])(x, parent)
@@ -181,7 +194,7 @@ def _embed_tokens_beam(
     jax.jit,
     static_argnames=(
         "cfg", "vocab_size", "num_entity_rows", "max_len", "beam_size",
-        "compute_dtype", "length_normalize",
+        "compute_dtype", "length_normalize", "use_fused_scores",
     ),
 )
 def beam_decode(
@@ -197,8 +210,17 @@ def beam_decode(
     beam_size: int = 5,
     compute_dtype=jnp.float32,
     length_normalize: bool = True,
+    use_fused_scores=None,
 ):
     """Returns (tokens (B, max_len), scores (B,)) for the best hypothesis."""
+    if use_fused_scores is None:
+        # Measured on v5e-1 at the preset shapes (V=10k): the Pallas fused
+        # scoring kernel ties XLA for greedy and loses for beam (XLA's
+        # batched GEMM + iterative top-k is already near the bandwidth
+        # floor), so it is opt-in; it pays off at larger vocabularies where
+        # the (N, S) score materialization dominates.
+        use_fused_scores = False
+    params = _cast_float_params(params, compute_dtype)
     B = ctx.entities_encoded.shape[0]
     K = beam_size
     D = cfg.emb_dim
@@ -254,6 +276,7 @@ def beam_decode(
             params["decoder"], x, caches, ancestry, i, ctx.cross_kvs, H,
             head_mask, group, compute_dtype,
         )
+        fact_before = pred_ind = None
         if cfg.has_facts:
             fact_before = jnp.take_along_axis(
                 seen, jnp.broadcast_to(subj[:, None, :], seen.shape[:2] + subj.shape[-1:]),
@@ -267,25 +290,60 @@ def beam_decode(
                 )
                 > 0
             ).astype(jnp.float32)
-            scores = cap.copy_scores(
+        if use_fused_scores:
+            # Pallas fused vocab-matmul + per-hypothesis top-K + logsumexp:
+            # the (B*K, S) score tensor never reaches HBM.  Global top-K is
+            # then exact over the K*K finalists.
+            from icek_tpu.decode.greedy import pointer_tail, vocab_input
+            from icek_tpu.kernels import copy_scores as cs
+
+            tail = pointer_tail(
                 params, cfg, h, ctx.entities_encoded, ctx.facts_encoded,
-                fact_before, pred_ind, compute_dtype,
+                fact_before, compute_dtype,
             )
+            vin = vocab_input(params, cfg, h, pred_ind, compute_dtype)
+            vals, idx, lse = cs.fused_score_topk(
+                vin.reshape(B * K, D), params["fc_vocab"]["w"],
+                params["fc_vocab"]["b"].astype(jnp.float32),
+                tail.reshape(B * K, -1), k=K,
+            )
+            cand_logp = (vals - lse[:, None]).reshape(B, K, K)
+            cand_token = idx.reshape(B, K, K)
+            # Finished parents contribute exactly one <pad> continuation.
+            first = jnp.arange(K) == 0
+            cand_logp = jnp.where(
+                finished[:, :, None],
+                jnp.where(first[None, None, :], 0.0, NEG_INF),
+                cand_logp,
+            )
+            cand_token = jnp.where(finished[:, :, None], pad_id, cand_token)
+            total = log_probs[:, :, None] + cand_logp       # (B, K, K)
+            top_vals, pos = topk.top_k(total.reshape(B, K * K), K)
+            parent = pos // K
+            token = jnp.take_along_axis(
+                cand_token.reshape(B, K * K), pos, axis=-1
+            ).astype(jnp.int32)
         else:
-            scores = cap.copy_scores(
-                params, cfg, h, ctx.entities_encoded, compute_dtype=compute_dtype
-            )
-        step_logp = jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1)
+            if cfg.has_facts:
+                scores = cap.copy_scores(
+                    params, cfg, h, ctx.entities_encoded, ctx.facts_encoded,
+                    fact_before, pred_ind, compute_dtype,
+                )
+            else:
+                scores = cap.copy_scores(
+                    params, cfg, h, ctx.entities_encoded,
+                    compute_dtype=compute_dtype,
+                )
+            step_logp = jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1)
 
-        # Finished hypotheses contribute exactly one continuation (<pad>, +0).
-        pad_only = jnp.full((K, S), NEG_INF).at[:, pad_id].set(0.0)
-        step_logp = jnp.where(finished[:, :, None], pad_only[None], step_logp)
+            # Finished hypotheses contribute exactly one continuation (<pad>, +0).
+            pad_only = jnp.full((K, S), NEG_INF).at[:, pad_id].set(0.0)
+            step_logp = jnp.where(finished[:, :, None], pad_only[None], step_logp)
 
-        total = log_probs[:, :, None] + step_logp          # (B, K, S)
-        flat_total = total.reshape(B, K * S)
-        top_vals, top_idx = topk.top_k(flat_total, K)      # (B, K)
-        parent = top_idx // S
-        token = (top_idx % S).astype(jnp.int32)
+            total = log_probs[:, :, None] + step_logp          # (B, K, S)
+            top_vals, top_idx = topk.top_k_two_stage(total, K)  # (B, K)
+            parent = top_idx // S
+            token = (top_idx % S).astype(jnp.int32)
 
         # Reorder the SMALL per-hypothesis state by parent beam; the KV
         # caches stay in place — only the ancestry rows are gathered.

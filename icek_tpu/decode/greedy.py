@@ -108,10 +108,47 @@ def _repetition_cleanup(output, second, i, apply):
     return output
 
 
+def pointer_tail(params, cfg, hc, ents, facts=None, fact_before=None,
+                 compute_dtype=jnp.float32):
+    """Entity [+ fact] pointer logits for one decode step.
+
+    hc: (..., D) raw decoder state; returns (..., E[+F]) — the "tail" of the
+    extended vocabulary, fed to the fused score/top-k kernel.
+    """
+    # greedy: hc (B, D); beam: hc (B, K, D) with per-image shared tables
+    spec = "bd,bed,d->be" if hc.ndim == 2 else "bkd,bed,d->bke"
+    fact_spec = "bd,bfd,d->bf" if hc.ndim == 2 else "bkd,bfd,d->bkf"
+    w_ent = params["fc_entity"]["w"][:, 0].astype(compute_dtype)
+    tail = jnp.einsum(
+        spec, hc.astype(compute_dtype), ents.astype(compute_dtype), w_ent
+    ).astype(jnp.float32) + params["fc_entity"]["b"][0].astype(jnp.float32)
+    if cfg.has_facts:
+        w_fact = params["fc_fact"]["w"][:, 0].astype(compute_dtype)
+        contracted = jnp.einsum(
+            fact_spec, hc.astype(compute_dtype), facts.astype(compute_dtype), w_fact
+        ).astype(jnp.float32)
+        tail_fact = contracted * fact_before + params["fc_fact"]["b"][0].astype(
+            jnp.float32
+        )
+        tail = jnp.concatenate([tail, tail_fact], axis=-1)
+    return tail
+
+
+def vocab_input(params, cfg, hc, pred_ind=None, compute_dtype=jnp.float32):
+    """Predicate-modulated decoder state feeding the vocab projection."""
+    if cfg.has_facts:
+        from icek_tpu.models import transformer as tfm
+
+        pred_proj = tfm.linear(params["fc_predicate"], pred_ind, compute_dtype)
+        return hc.astype(compute_dtype) * pred_proj.astype(compute_dtype)
+    return hc.astype(compute_dtype)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "cfg", "vocab_size", "num_entity_rows", "max_len", "compute_dtype",
+        "use_fused_scores",
     ),
 )
 def greedy_decode(
@@ -125,8 +162,24 @@ def greedy_decode(
     ctx: DecodeContext,
     max_len: int,
     compute_dtype=jnp.float32,
+    use_fused_scores=None,
 ):
-    """Returns (B, max_len) extended-vocab token ids."""
+    """Returns (B, max_len) extended-vocab token ids.
+
+    `use_fused_scores` routes the scoring head through the Pallas fused
+    vocab-matmul/top-k/logsumexp kernel (kernels/copy_scores.py); opt-in —
+    see the default note below.
+    """
+    from icek_tpu.decode.beam import _cast_float_params
+
+    if use_fused_scores is None:
+        # Measured on v5e-1 at the preset shapes (V=10k): the Pallas fused
+        # scoring kernel ties XLA for greedy and loses for beam (XLA's
+        # batched GEMM + iterative top-k is already near the bandwidth
+        # floor), so it is opt-in; it pays off at larger vocabularies where
+        # the (N, S) score materialization dominates.
+        use_fused_scores = False
+    params = _cast_float_params(params, compute_dtype)
     B = ctx.entities_encoded.shape[0]
     D = cfg.emb_dim
     H = cfg.num_heads
@@ -158,20 +211,36 @@ def greedy_decode(
             deterministic=True, compute_dtype=compute_dtype,
             kv_caches=caches, cache_index=i, cross_kvs=ctx.cross_kvs,
         )
+        fact_before = pred_ind = None
         if cfg.has_facts:
             fact_before, pred_ind = cap.indicators_from_seen(
                 seen, ctx.fact_features, cfg.num_predicates, ctx.pred_onehot
             )
-            scores = cap.copy_scores(
-                params, cfg, h, ctx.entities_encoded, ctx.facts_encoded,
-                fact_before[:, None, :], pred_ind[:, None, :], compute_dtype,
-            )[:, 0]
-        else:
-            scores = cap.copy_scores(
-                params, cfg, h, ctx.entities_encoded, compute_dtype=compute_dtype
-            )[:, 0]
+        if use_fused_scores:
+            from icek_tpu.kernels import copy_scores as cs
 
-        top2_vals, top2_idx = topk.top_k(scores, 2)
+            hc = h[:, 0]
+            tail = pointer_tail(
+                params, cfg, hc, ctx.entities_encoded, ctx.facts_encoded,
+                fact_before, compute_dtype,
+            )
+            vin = vocab_input(params, cfg, hc, pred_ind, compute_dtype)
+            _, top2_idx, _ = cs.fused_score_topk(
+                vin, params["fc_vocab"]["w"],
+                params["fc_vocab"]["b"].astype(jnp.float32), tail, k=2,
+            )
+        else:
+            if cfg.has_facts:
+                scores = cap.copy_scores(
+                    params, cfg, h, ctx.entities_encoded, ctx.facts_encoded,
+                    fact_before[:, None, :], pred_ind[:, None, :], compute_dtype,
+                )[:, 0]
+            else:
+                scores = cap.copy_scores(
+                    params, cfg, h, ctx.entities_encoded,
+                    compute_dtype=compute_dtype,
+                )[:, 0]
+            _, top2_idx = topk.top_k(scores, 2)
         out_raw = top2_idx[:, 0].astype(jnp.int32)
         runner_up = top2_idx[:, 1].astype(jnp.int32)
 

@@ -14,6 +14,21 @@ import jax
 import jax.numpy as jnp
 
 
+def top_k_two_stage(total: jnp.ndarray, k: int):
+    """Exact top-k over the flattened last two axes of (B, K, S) without
+    materializing the (B, K*S) flatten (which costs a physical layout copy
+    at beam shapes).  Stage 1 takes top-k within each K row; stage 2 ranks
+    the K*k finalists.  Returns (values, flat_indices) identical to
+    ``top_k(total.reshape(B, K*S), k)`` up to exact-tie ordering.
+    """
+    B, K, S = total.shape
+    vals1, idx1 = top_k(total, k)                    # (B, K, k) per parent
+    flat1 = (jnp.arange(K, dtype=jnp.int32)[None, :, None] * S + idx1)
+    vals2, pos2 = top_k(vals1.reshape(B, K * k), k)  # (B, k) among finalists
+    flat = jnp.take_along_axis(flat1.reshape(B, K * k), pos2, axis=-1)
+    return vals2, flat
+
+
 def top_k(x: jnp.ndarray, k: int):
     """Drop-in replacement for jax.lax.top_k on the last axis (small k).
 
