@@ -178,6 +178,17 @@ class Wordmap:
         return cls(mapping)
 
 
+def update_wordmap(existing: Dict[str, int], words: List[str]) -> List[str]:
+    """Merge a precompiled wordmap's words into a fresh word list, dropping
+    its special tokens (reference: geo-aware/create_input_files.py:303-310).
+    Returns the extended word list (new words first, then carried-over)."""
+    specials = {Wordmap.UNK, Wordmap.START, Wordmap.END, Wordmap.PAD}
+    present = set(words)
+    return words + [
+        w for w in existing if w not in specials and w not in present
+    ]
+
+
 def build_wordmap(
     images: Iterable[dict],
     min_word_freq: int = 0,

@@ -39,6 +39,7 @@ class InputFileWriter:
         output_dir: str,
         knowledge_context_path: Optional[str] = None,
         wordmap_file_path: Optional[str] = None,
+        update_wordmap: bool = False,
         seed: Optional[int] = None,
     ):
         self.cfg = cfg
@@ -54,13 +55,14 @@ class InputFileWriter:
         self.image_dir = image_dir
         self.output_dir = output_dir
         self.wordmap_file_path = wordmap_file_path
+        self.update_wordmap = update_wordmap
         self.rng = random.Random(seed) if seed is not None else random
         os.makedirs(output_dir, exist_ok=True)
 
     # -- wordmap --------------------------------------------------------
 
     def build_wordmap(self) -> codec.Wordmap:
-        if self.wordmap_file_path:
+        if self.wordmap_file_path and not self.update_wordmap:
             with open(self.wordmap_file_path) as f:
                 wm = codec.Wordmap(json.load(f))
         else:
@@ -84,6 +86,19 @@ class InputFileWriter:
                 self.data_cfg.split_tokens_on_underscore,
                 extra,
             )
+            if self.wordmap_file_path and self.update_wordmap:
+                # merge a precompiled wordmap's words behind the fresh ones
+                # (reference: geo-aware/create_input_files.py:303-310)
+                with open(self.wordmap_file_path) as f:
+                    existing = json.load(f)
+                ordered = [
+                    w for w, _ in sorted(wm.word_to_id.items(), key=lambda kv: kv[1])
+                    if w not in (codec.Wordmap.UNK, codec.Wordmap.START,
+                                 codec.Wordmap.END, codec.Wordmap.PAD)
+                ]
+                wm = codec.Wordmap.from_words(
+                    codec.update_wordmap(existing, ordered)
+                )
         path = os.path.join(
             self.output_dir, f"WORDMAP_{self.data_cfg.base_name}.json"
         )

@@ -274,3 +274,126 @@ def test_resnet_primitives_match_torch(rng):
     j = rn.bottleneck(block_params, j, stride=2)
     j = rn.adaptive_avg_pool(j, (5, 5))
     np.testing.assert_allclose(np.asarray(j), want, atol=1e-4)
+
+
+def build_torch_resnet101_body():
+    """torchvision-resnet101-shaped Sequential matching the reference
+    Encoder's `resnet.<idx>` naming (geo models.py:24-27)."""
+    layers = [
+        nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False),
+        nn.BatchNorm2d(64),
+        nn.ReLU(),
+        nn.MaxPool2d(3, stride=2, padding=1),
+    ]
+    cin = 64
+    for stage, (count, width) in enumerate(zip((3, 4, 23, 3), (64, 128, 256, 512))):
+        blocks = []
+        for b in range(count):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            blocks.append(TorchBottleneck(cin, width, stride, downsample=b == 0))
+            cin = width * 4
+        layers.append(nn.Sequential(*blocks))
+    return nn.Sequential(*layers)
+
+
+class TinyEncoder(nn.Module):
+    """Module-level reference-shaped torch Encoder (whole pickled modules
+    cannot be local classes); resnet body + the 1x1 projection conv."""
+
+    def __init__(self, emb_dim=8):
+        super().__init__()
+        self.resnet = build_torch_resnet101_body()
+        self.adaptive_pool = nn.AdaptiveAvgPool2d((14, 14))
+        self.conv1 = nn.Conv2d(2048, emb_dim, 1)
+
+    def forward(self, images):
+        out = self.adaptive_pool(self.resnet(images))
+        out = self.conv1(out)
+        return out.view(out.shape[0], out.shape[1], -1)
+
+
+def test_reference_pth_tar_checkpoint_port(tmp_path, rng):
+    """Full porting path: a reference-style .pth.tar (whole pickled modules,
+    geo utils.py:32-49) -> icek_tpu params -> forward parity."""
+    import sys
+
+    from conftest import REFERENCE_ROOT
+
+    path = REFERENCE_ROOT / "geo-aware"
+    if not path.exists():
+        pytest.skip("reference not mounted")
+    reference_subproject("geo-aware")  # installs the torchvision stub
+    sys.path.insert(0, str(path))
+    saved_models = sys.modules.pop("models", None)
+    try:
+        import importlib
+
+        import models as ref_models
+
+        importlib.reload(ref_models)
+        torch_seed(9)
+        wm = _toy_wordmap()
+        cfg = small_cfg("geo")
+        ref = ref_models.DecoderTransformer(
+            word_map=wm, emb_dim=D, decoder_dim=FFN, encoder_dim=FFN,
+            num_heads=HEADS, num_layers=LAYERS,
+            dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+        ).eval()
+        ref.entity_encoder.type_embedding = nn.Embedding(cfg.type_vocab, cfg.type_emb_dim)
+
+        encoder = TinyEncoder().eval()
+        ckpt_path = tmp_path / "checkpoint_4_geo_aware_test.pth.tar"
+        torch.save(
+            {
+                "epoch": 4, "epochs_since_improvement": 1, "loss": 3.21,
+                "encoder": encoder, "decoder": ref,
+                "encoder_optimizer": None, "decoder_optimizer": None,
+            },
+            ckpt_path,
+        )
+
+        from icek_tpu.train import port
+
+        params, encoder_params, meta = port.load_reference_checkpoint(
+            str(ckpt_path), cfg
+        )
+        assert meta == {"epoch": 4, "epochs_since_improvement": 1, "loss": 3.21}
+        assert np.asarray(encoder_params["proj"]["w"]).shape == (1, 1, 2048, 8)
+
+        # full ResNet-101 encoder parity on a small image
+        from icek_tpu.models import resnet as rn
+
+        image = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            want_tokens = (
+                encoder(torch.tensor(np.transpose(image, (0, 3, 1, 2))))
+                .permute(0, 2, 1)
+                .numpy()
+            )
+        got_tokens = np.asarray(
+            rn.resnet_encode(encoder_params, jnp.asarray(image), encoded_size=14)
+        )
+        np.testing.assert_allclose(got_tokens, want_tokens, atol=2e-3)
+
+        V = len(wm)
+        B, T, E = 2, 7, 5
+        img = rng.standard_normal((B, 4, D)).astype(np.float32)
+        ents = _geo_entities(rng, B, E)
+        caps, cap_mask = _captions(rng, wm, B, T, E)
+        lengths = np.array([[T], [T - 1]])
+        with torch.no_grad():
+            want, _, _ = ref(
+                torch.tensor(caps), torch.tensor(img).permute(0, 2, 1),
+                torch.tensor(cap_mask), torch.tensor(lengths), torch.tensor(ents),
+            )
+        got = cap.captioner_forward(
+            params, cfg, V, wm["<pad>"],
+            jnp.asarray(caps), jnp.asarray(cap_mask), jnp.asarray(img),
+            jnp.asarray(ents),
+        )
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-4)
+    finally:
+        sys.path.pop(0)
+        sys.modules.pop("models", None)
+        if saved_models is not None:
+            sys.modules["models"] = saved_models
