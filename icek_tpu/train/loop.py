@@ -55,7 +55,7 @@ class TrainResult:
 def run_epoch(
     train_step, params, opt_state, encoder_params, data: ds.CaptionDataset,
     batch_size: int, rng_key, epoch: int, print_freq: int = 100,
-    log: Callable[[str], None] = print,
+    log: Callable[[str], None] = print, enc_opt_state=None,
 ):
     batch_time, data_time, losses = Meter(), Meter(), Meter()
     start = time.time()
@@ -64,12 +64,19 @@ def run_epoch(
         ds.batch_indices(len(data), batch_size, shuffle=True, seed=epoch),
         lambda idx: data.batch(idx),
     )
+    fine_tune = enc_opt_state is not None
     for i, batch in enumerate(batches):
         data_time.update(time.time() - start)
         step_rng = jax.random.fold_in(rng_key, i)
-        params, opt_state, loss, count = train_step(
-            params, opt_state, encoder_params, batch, step_rng
-        )
+        if fine_tune:
+            (params, opt_state, encoder_params, enc_opt_state, loss,
+             count) = train_step(
+                params, opt_state, encoder_params, enc_opt_state, batch, step_rng
+            )
+        else:
+            params, opt_state, loss, count = train_step(
+                params, opt_state, encoder_params, batch, step_rng
+            )
         loss = float(loss)
         losses.update(loss, int(count))
         batch_time.update(time.time() - start)
@@ -81,7 +88,7 @@ def run_epoch(
                 f"Data Load Time {data_time.val:.3f} ({data_time.avg:.3f})\t"
                 f"Loss {loss:.4f} ({losses.avg:.4f})"
             )
-    return params, opt_state, losses.avg
+    return params, opt_state, losses.avg, encoder_params, enc_opt_state
 
 
 def run_validation(
@@ -143,7 +150,13 @@ def train(
 
     # Cache frozen-encoder image tokens once per split.
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
-    if not tc.fine_tune_encoder:
+    encoder_optimizer = enc_opt_state = None
+    if tc.fine_tune_encoder:
+        encoder_optimizer = step_lib.make_encoder_optimizer(
+            encoder_params, tc.encoder_lr, tc.grad_clip
+        )
+        enc_opt_state = encoder_optimizer.init(encoder_params)
+    else:
         encode = jax.jit(
             lambda imgs: resnet.resnet_encode(
                 encoder_params, imgs, cfg.model.encoded_image_size,
@@ -157,6 +170,7 @@ def train(
         cfg, vocab_size, pad_id, optimizer,
         compute_dtype=compute_dtype,
         encode_images=tc.fine_tune_encoder,
+        encoder_optimizer=encoder_optimizer,
     )
 
     metric_log = profiling.MetricLogger(
@@ -171,15 +185,20 @@ def train(
             break
         if stale > 0 and stale % tc.lr_decay_every == 0:
             opt_state = step_lib.decay_learning_rate(opt_state, tc.lr_decay_factor)
+            if enc_opt_state is not None:
+                enc_opt_state = step_lib.decay_learning_rate(
+                    enc_opt_state, tc.lr_decay_factor
+                )
             log(
                 "DECAYING learning rate to "
                 f"{float(opt_state.hyperparams['learning_rate']):.6f}"
             )
         with profiling.trace(profile_dir if epoch == start_epoch else None):
-            params, opt_state, train_loss = run_epoch(
+            (params, opt_state, train_loss, encoder_params,
+             enc_opt_state) = run_epoch(
                 train_step, params, opt_state, encoder_params, train_data,
                 tc.batch_size, jax.random.fold_in(k_train, epoch), epoch,
-                tc.print_freq, log,
+                tc.print_freq, log, enc_opt_state=enc_opt_state,
             )
         val_loss = run_validation(
             eval_step, params, encoder_params, val_data, tc.batch_size,

@@ -55,16 +55,63 @@ def decay_learning_rate(opt_state, factor: float):
 
 
 def caption_loss(scores, caption_ids, caption_lengths, pad_id):
-    """Masked mean cross-entropy over teacher-forced positions."""
+    """Masked mean cross-entropy over teacher-forced positions.
+
+    Positions are limited to t < length-1 AND non-<pad> targets: the
+    knowledge/news preps record the full padded length as the caplen
+    (knowledge-aware/create_input_files.py:347), and the reference's
+    CrossEntropyLoss(ignore_index=<pad>) is what actually excludes the
+    padding there.
+    """
     targets = caption_ids[:, 1:]                           # predict next token
     logits = scores[:, : targets.shape[1]]
     T = targets.shape[1]
     valid = jnp.arange(T)[None, :] < (caption_lengths[:, None] - 1)
+    valid = valid & (targets != pad_id)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     token_ll = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
     total = jnp.sum(-token_ll * valid)
     count = jnp.sum(valid)
     return total / jnp.maximum(count, 1), count
+
+
+def encoder_trainable_mask(encoder_params):
+    """Trainable-leaf mask replicating the reference's fine_tune policy
+    (geo models.py:49-60 + train.py:92-100): ResNet blocks 2-4 (children[5:])
+    plus the 1x1 projection train; the stem, layer1 and all batch-norm
+    running statistics stay frozen."""
+
+    def mask_stage(tree, trainable):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: trainable
+            and not any(
+                getattr(p, "key", None) in ("mean", "var") for p in path
+            ),
+            tree,
+        )
+
+    return {
+        name: mask_stage(sub, name in ("layer2", "layer3", "layer4", "proj"))
+        for name, sub in encoder_params.items()
+    }
+
+
+def make_encoder_optimizer(encoder_params, learning_rate: float,
+                           grad_clip: float = 5.0):
+    """Masked Adam over the fine-tunable encoder subset."""
+    mask = encoder_trainable_mask(encoder_params)
+    inverse = jax.tree.map(lambda m: not m, mask)
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.masked(
+                optax.chain(optax.clip(grad_clip), optax.adam(learning_rate)),
+                mask,
+            ),
+            # frozen leaves: zero their update (masked() passes raw grads
+            # through untouched otherwise)
+            optax.masked(optax.set_to_zero(), inverse),
+        )
+    )(learning_rate=learning_rate)
 
 
 def make_train_step(
@@ -74,15 +121,19 @@ def make_train_step(
     optimizer,
     compute_dtype=jnp.float32,
     encode_images: bool = True,
+    encoder_optimizer=None,
 ):
     """Build the jitted train step.
 
     If `encode_images` the batch carries raw normalized images (B,H,W,3) and
-    the frozen ResNet runs inside the step; otherwise the batch carries
-    precomputed image tokens (B, 196, D) — the fast path, since the default
-    config never updates the encoder (reference train.py:52,92-100).
+    the ResNet runs inside the step; otherwise the batch carries precomputed
+    image tokens (B, 196, D) — the fast path, since the default config never
+    updates the encoder (reference train.py:52,92-100).
+    With `encoder_optimizer` set (fine-tuning), gradients flow into the
+    unfrozen encoder subset and the step also returns updated encoder state.
     """
     mcfg = cfg.model
+    fine_tune = encoder_optimizer is not None
 
     def image_tokens(encoder_params, batch):
         if not encode_images:
@@ -94,7 +145,8 @@ def make_train_step(
 
     def loss_fn(params, encoder_params, batch, rng):
         tokens = image_tokens(encoder_params, batch)
-        tokens = jax.lax.stop_gradient(tokens)
+        if not fine_tune:
+            tokens = jax.lax.stop_gradient(tokens)
         scores = cap.captioner_forward(
             params, mcfg, vocab_size, pad_id,
             batch["caption_ids"], batch["caption_mask"], tokens,
@@ -103,14 +155,33 @@ def make_train_step(
         )
         return caption_loss(scores, batch["caption_ids"], batch["lengths"], pad_id)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, encoder_params, batch, rng):
-        (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, encoder_params, batch, rng
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, count
+    if fine_tune:
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def train_step_ft(params, opt_state, encoder_params, enc_opt_state,
+                          batch, rng):
+            (loss, count), (grads, enc_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, encoder_params, batch, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            enc_updates, enc_opt_state = encoder_optimizer.update(
+                enc_grads, enc_opt_state, encoder_params
+            )
+            encoder_params = optax.apply_updates(encoder_params, enc_updates)
+            return params, opt_state, encoder_params, enc_opt_state, loss, count
+
+        train_step = train_step_ft
+    else:
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, encoder_params, batch, rng):
+            (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, encoder_params, batch, rng
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, count
 
     @jax.jit
     def eval_step(params, encoder_params, batch):

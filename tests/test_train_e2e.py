@@ -312,3 +312,97 @@ def test_knowledge_end_to_end(tmp_path):
     assert csv_path.exists()
     assert (tmp_path / "generated_captions_random_facts.csv").exists()
     assert len(out["captions"]) == 2
+
+
+def test_caption_loss_matches_reference_criterion(rng):
+    """Masked CE == the reference's pack_padded + CrossEntropyLoss(ignore
+    <pad>) (geo train.py:274-284), for both caplen conventions: geo's
+    len(tokens)+2 and knowledge's full padded length."""
+    torch = pytest.importorskip("torch")
+    from torch import nn
+    from torch.nn.utils.rnn import pack_padded_sequence
+
+    from icek_tpu.train.step import caption_loss
+
+    B, T, S, pad = 4, 12, 30, 0
+    scores = rng.standard_normal((B, T, S)).astype(np.float32)
+    caps = rng.integers(1, S, (B, T)).astype(np.int32)
+    # geo convention: true lengths, pad after <end>
+    true_lens = np.array([12, 10, 7, 5])
+    for b, L in enumerate(true_lens):
+        caps[b, L:] = pad
+    for lengths in (true_lens, np.full((B,), T)):  # geo vs knowledge caplens
+        dec_lens = (lengths - 1).tolist()
+        t_scores = torch.tensor(scores[:, : T - 1])
+        t_targets = torch.tensor(caps[:, 1:].astype(np.int64))
+        order = np.argsort(-np.asarray(dec_lens), kind="stable")
+        packed_scores = pack_padded_sequence(
+            t_scores[order], [dec_lens[i] for i in order], batch_first=True
+        ).data
+        packed_targets = pack_padded_sequence(
+            t_targets[order], [dec_lens[i] for i in order], batch_first=True
+        ).data
+        want = nn.CrossEntropyLoss(ignore_index=pad)(packed_scores, packed_targets)
+        got, count = caption_loss(
+            jnp.asarray(scores), jnp.asarray(caps), jnp.asarray(lengths), pad
+        )
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5), lengths
+
+
+def test_fine_tune_encoder_updates_unfrozen_subset(tmp_path):
+    """Fine-tuning trains ResNet blocks 2-4 + the projection and leaves the
+    stem/layer1/BN stats frozen (reference models.py:49-60)."""
+    from icek_tpu.models import resnet
+    from icek_tpu.train import step as step_lib
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, fine_tune_encoder=True),
+        model=dataclasses.replace(
+            cfg.model, dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0
+        ),
+    )
+    V, E, B = 20, 5, 2
+    rng = np.random.default_rng(2)
+    key = jax.random.PRNGKey(0)
+    from icek_tpu.models import captioner
+
+    params = captioner.init_captioner_params(key, cfg.model, V)
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+    before = jax.tree.map(np.asarray, encoder_params)
+
+    optimizer = step_lib.make_optimizer(1e-3)
+    enc_optimizer = step_lib.make_encoder_optimizer(encoder_params, 1e-3)
+    opt_state = optimizer.init(params)
+    enc_opt_state = enc_optimizer.init(encoder_params)
+    train_step, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=True,
+        encoder_optimizer=enc_optimizer,
+    )
+    ents = np.zeros((B, E, 5), dtype=np.float32)
+    ents[:, :, 0] = np.arange(E)
+    batch = {
+        "caption_ids": rng.integers(1, V, (B, 8)).astype(np.int32),
+        "caption_mask": np.zeros((B, 8), dtype=np.int32),
+        "lengths": np.full((B,), 8, dtype=np.int32),
+        "entity_features": ents,
+        "images": rng.standard_normal((B, 32, 32, 3)).astype(np.float32),
+    }
+    params, opt_state, encoder_params, enc_opt_state, loss, _ = train_step(
+        params, opt_state, encoder_params, enc_opt_state, batch,
+        jax.random.PRNGKey(1),
+    )
+    assert np.isfinite(float(loss))
+    after = jax.tree.map(np.asarray, encoder_params)
+
+    def changed(a, b):
+        return not np.allclose(a, b)
+
+    # frozen: stem + layer1 + BN stats
+    assert not changed(before["conv1"], after["conv1"])
+    assert not changed(before["layer1"][0]["conv1"], after["layer1"][0]["conv1"])
+    assert not changed(before["layer2"][0]["bn1"]["mean"], after["layer2"][0]["bn1"]["mean"])
+    # trainable: layers 2-4 + projection
+    assert changed(before["layer2"][0]["conv1"], after["layer2"][0]["conv1"])
+    assert changed(before["layer4"][0]["conv2"], after["layer4"][0]["conv2"])
+    assert changed(before["proj"]["w"], after["proj"]["w"])
