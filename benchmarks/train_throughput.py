@@ -1,0 +1,143 @@
+"""Training throughput: icek_tpu jitted train step (TPU) vs the reference's
+torch train iteration (CPU), geo config at production sizes.
+
+Both measurements exclude the frozen ResNet encoder (icek_tpu caches image
+tokens once per split; the reference recomputes it per batch, so this is
+again conservative in the reference's favor).  The reference side times one
+forward + backward + clip + Adam step of DecoderTransformer at its
+documented batch size 4 (geo-aware/train.py:45); ours at batch 64.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB, E, T = 10000, 301, 32
+
+
+def measure_icek(batch=64, iters=10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/icek_jax_cache")
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.models import captioner
+    from icek_tpu.train import step as step_lib
+
+    cfg = config_lib.georic()
+    compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    rng = np.random.default_rng(0)
+    params = captioner.init_captioner_params(jax.random.PRNGKey(0), cfg.model, VOCAB)
+    optimizer = step_lib.make_optimizer(cfg.train.decoder_lr, cfg.train.grad_clip)
+    opt_state = optimizer.init(params)
+    train_step, _ = step_lib.make_train_step(
+        cfg, VOCAB, 0, optimizer, compute_dtype=compute_dtype, encode_images=False
+    )
+    ents = np.zeros((batch, E, 5), dtype=np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 4] = rng.integers(0, 900, (batch, E))
+    batch_data = {
+        "caption_ids": rng.integers(1, VOCAB + E, (batch, T)).astype(np.int32),
+        "caption_mask": np.zeros((batch, T), dtype=np.int32),
+        "lengths": np.full((batch,), T, dtype=np.int32),
+        "entity_features": ents,
+        "image_tokens": rng.standard_normal((batch, 196, 300)).astype(np.float32),
+    }
+    batch_data["caption_mask"][batch_data["caption_ids"] >= VOCAB] = 1
+    # pre-stage on device: the production loader prefetches batches on a
+    # background thread; this benchmark measures the device step itself
+    batch_data = jax.tree.map(jnp.asarray, batch_data)
+    key = jax.random.PRNGKey(0)
+    params, opt_state, loss, _ = train_step(params, opt_state, None, batch_data, key)
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss, _ = train_step(
+            params, opt_state, None, batch_data, jax.random.fold_in(key, i)
+        )
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return {"backend": jax.default_backend(), "batch": batch,
+            "step_ms": round(dt * 1000, 2),
+            "samples_per_sec": round(batch / dt, 1)}
+
+
+def measure_reference(batch=4, iters=5):
+    import types
+
+    import numpy as np
+    import torch
+    from torch import nn
+
+    if "torchvision" not in sys.modules:
+        stub = types.ModuleType("torchvision")
+        stub.models = types.SimpleNamespace(resnet101=None)
+        sys.modules["torchvision"] = stub
+    sys.path.insert(0, "/root/reference/geo-aware")
+    import importlib
+
+    import models as ref_models
+    importlib.reload(ref_models)
+    import utils as ref_utils
+    from torch.nn.utils.rnn import pack_padded_sequence
+
+    torch.manual_seed(0)
+    wm = {f"w{i}": i + 1 for i in range(VOCAB - 4)}
+    wm["<unk>"] = len(wm) + 1
+    wm["<start>"] = len(wm) + 1
+    wm["<end>"] = len(wm) + 1
+    wm["<pad>"] = 0
+    decoder = ref_models.DecoderTransformer(
+        word_map=wm, emb_dim=300, decoder_dim=512, encoder_dim=512,
+        num_heads=10, num_layers=3,
+        dropout_dec=0.2, dropout_enc=0.2, dropout_pos=0.1,
+    ).train()
+    optimizer = torch.optim.Adam(decoder.parameters(), lr=4e-4)
+    criterion = nn.CrossEntropyLoss(ignore_index=0)
+    rng = np.random.default_rng(0)
+    imgs = torch.tensor(rng.standard_normal((batch, 300, 196)).astype(np.float32))
+    caps = torch.tensor(rng.integers(1, VOCAB - 4, (batch, T)).astype(np.int64))
+    masks = torch.zeros((batch, T), dtype=torch.long)
+    lengths = torch.tensor([[T - i] for i in range(batch)])
+    ents = np.zeros((batch, E, 5), dtype=np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents_t = torch.tensor(ents)
+
+    def one_step():
+        scores, caps_sorted, dec_lens = decoder(caps, imgs, masks, lengths, ents_t)
+        targets = caps_sorted[:, 1:]
+        packed_s = pack_padded_sequence(scores, dec_lens, batch_first=True).data
+        packed_t = pack_padded_sequence(targets, dec_lens, batch_first=True).data
+        loss = criterion(packed_s, packed_t)
+        optimizer.zero_grad()
+        loss.backward()
+        ref_utils.clip_gradient(optimizer, 5.0)
+        optimizer.step()
+
+    one_step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_step()
+    dt = (time.perf_counter() - t0) / iters
+    sys.path.pop(0)
+    return {"backend": "torch-cpu", "batch": batch,
+            "step_ms": round(dt * 1000, 2),
+            "samples_per_sec": round(batch / dt, 1)}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    out = {}
+    if which in ("both", "icek"):
+        out["icek_tpu"] = measure_icek()
+    if which in ("both", "reference"):
+        out["reference"] = measure_reference()
+    if "icek_tpu" in out and "reference" in out:
+        out["speedup_samples_per_sec"] = round(
+            out["icek_tpu"]["samples_per_sec"] / out["reference"]["samples_per_sec"], 1
+        )
+    print(json.dumps(out))
