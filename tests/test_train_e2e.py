@@ -406,3 +406,98 @@ def test_fine_tune_encoder_updates_unfrozen_subset(tmp_path):
     assert changed(before["layer2"][0]["conv1"], after["layer2"][0]["conv1"])
     assert changed(before["layer4"][0]["conv2"], after["layer4"][0]["conv2"])
     assert changed(before["proj"]["w"], after["proj"]["w"])
+
+
+def test_news_end_to_end(tmp_path):
+    """News preset slice: article-entity contexts with packed name word ids
+    -> input files -> train -> batched eval with the generated-mask CSV."""
+    import pandas as pd
+
+    from icek_tpu import eval_driver
+
+    base = config_lib.nytimes800k()
+    cfg = base.replace(
+        model=dataclasses.replace(
+            base.model,
+            emb_dim=20, decoder_ffn_dim=32, encoder_ffn_dim=32,
+            num_heads=2, num_layers=1, type_vocab=10,
+            num_predicates=8, encoded_image_size=4,
+        ),
+        data=dataclasses.replace(
+            base.data,
+            base_name="tiny_news", entity_context_size=5,
+            fact_context_size=4, max_caption_len=10, img_size=32,
+            min_word_freq=0,
+            fact_random_ranges=((5, 5), (0, 0)),
+        ),
+        train=dataclasses.replace(base.train, batch_size=3, print_freq=1),
+    )
+    rng = np.random.default_rng(1)
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    images, entity_contexts, knowledge_contexts = [], {}, {}
+    for i in range(9):
+        Image.fromarray(
+            rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)
+        ).save(img_dir / f"img{i}.jpg")
+        url = f"http://news.example/{i}"
+        split = "train" if i < 5 else ("val" if i < 7 else "test")
+        tokens = ["the", "mayor", "of", "new_york", "in", "1999"]
+        mask = [0, 0, 0, 1, 0, 2]
+        images.append({"tokens": tokens, "mask": mask, "url": url,
+                       "id": f"img{i}", "split": split})
+        pd_ctx = pytest.importorskip("pandas")
+        entity_contexts[url] = pd_ctx.DataFrame(
+            {
+                "name_processed": ["new_york", "city_hall"],
+                "count": [4, 1],
+                "in_headline": [1, 0],
+                "in_first_paragraph": [1, 1],
+                "type": [2, 5],
+            }
+        )
+        knowledge_contexts[url] = pd_ctx.DataFrame(
+            {
+                "object": ["1999", "giuliani"],
+                "subject_idx_in_entity_context": [0, 0],
+                "predicate_idx": [1, 3],
+            }
+        )
+    with open(tmp_path / "captions_split.json", "w") as f:
+        json.dump({"images": images}, f)
+    with open(tmp_path / "entity_context.pkl", "wb") as f:
+        pickle.dump(entity_contexts, f)
+    with open(tmp_path / "knowledge_context.pkl", "wb") as f:
+        pickle.dump(knowledge_contexts, f)
+
+    out_dir = tmp_path / "files"
+    writer = input_files.InputFileWriter(
+        cfg, str(tmp_path / "captions_split.json"),
+        str(tmp_path / "entity_context.pkl"), str(img_dir), str(out_dir),
+        knowledge_context_path=str(tmp_path / "knowledge_context.pkl"), seed=0,
+    )
+    wm = writer.run()
+    # news wordmap folds entity-name words in
+    assert "york" in wm and "city" in wm
+
+    train_data = ds.CaptionDataset(str(out_dir), "tiny_news", "TRAIN", True)
+    # entity rows: [row_idx, count, headline, first_par, type, 5 name ids]
+    assert train_data.arrays.entity_features.shape == (5, 6, 10)
+
+    result = train_loop.train(
+        cfg, str(out_dir), len(wm), wm.pad_id,
+        checkpoint_dir=str(tmp_path / "ck"), max_epochs=1, log=lambda s: None,
+    )
+    assert np.isfinite(result.best_loss)
+
+    test_data = ds.CaptionDataset(str(out_dir), "tiny_news", "TEST", True)
+    evaluator = eval_driver.Evaluator(
+        cfg, wm, result.params, result.encoder_params, batch_size=2, beam_size=2,
+    )
+    csv_path = tmp_path / "generated_captions.csv"
+    evaluator.run(test_data, output_csv=str(csv_path), log=lambda s: None)
+    df = pd.read_csv(csv_path)
+    assert "generated_mask" in df.columns  # the news-specific column
+    assert len(df) == 2
