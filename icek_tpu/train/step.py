@@ -10,7 +10,6 @@ and numerically identical for mean-CE.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, Callable, Optional
 
@@ -21,15 +20,6 @@ import optax
 from icek_tpu.core.config import Config
 from icek_tpu.models import captioner as cap
 from icek_tpu.models import resnet
-
-
-@dataclasses.dataclass
-class TrainState:
-    params: Any                 # captioner params
-    opt_state: Any
-    encoder_params: Any         # resnet params (frozen unless fine-tuning)
-    encoder_opt_state: Any = None
-    step: int = 0
 
 
 def make_optimizer(learning_rate: float, grad_clip: float = 5.0):
