@@ -21,6 +21,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+try:  # reuse compiled executables across driver runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/icek_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 

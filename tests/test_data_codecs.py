@@ -250,3 +250,22 @@ def test_encode_caption_matches_reference_knowledge():
         entity_context_size=6, length_is_padded=True,
     )
     assert list(got) == list(want)
+
+
+def test_pack_context_deterministic_with_seed():
+    """Seeded packing is reproducible (input-pipeline determinism guard)."""
+    import random as _random
+
+    pd = pytest.importorskip("pandas")
+    df = _entity_df(pd)
+    kwargs = dict(
+        name_key="name",
+        feature_keys=["distance", "azimuth", "size", "type_index"],
+        random_ranges=[(0.0, 1.0), (-179.0, 179.0), (0.0, 0.1), (0, 500)],
+        context_size=6,
+        unk_token="<unk_ent>",
+        normalizer=codec.normalize_name_geo,
+    )
+    a = context.pack_context(df.to_dict("records"), rng=_random.Random(7), **kwargs)
+    b = context.pack_context(df.to_dict("records"), rng=_random.Random(7), **kwargs)
+    assert a == b
