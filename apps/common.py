@@ -88,6 +88,9 @@ def run_eval(preset: str, argv=None):
     p = base_parser(f"Evaluate the {preset} captioner on the TEST split")
     p.add_argument("--checkpoint", required=True,
                    help=".msgpack checkpoint or reference .pth.tar")
+    p.add_argument("--reference-dir", default=None,
+                   help="reference subproject dir (for unpickling the "
+                        "classes inside a .pth.tar checkpoint)")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--beam", type=int, default=None,
                    help="beam size (default: preset; 1 = greedy)")
@@ -106,6 +109,16 @@ def run_eval(preset: str, argv=None):
 
     wm = load_wordmap(args.data_dir, cfg.data.base_name)
     if args.checkpoint.endswith(".pth.tar"):
+        if args.reference_dir:
+            # the pickled modules resolve against the reference's own
+            # models.py; torchvision may need stubbing (not installed here)
+            import types
+
+            if "torchvision" not in sys.modules:
+                stub = types.ModuleType("torchvision")
+                stub.models = types.SimpleNamespace(resnet101=None)
+                sys.modules["torchvision"] = stub
+            sys.path.insert(0, args.reference_dir)
         params, encoder_params, _ = port.load_reference_checkpoint(
             args.checkpoint, cfg.model
         )

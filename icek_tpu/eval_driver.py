@@ -119,10 +119,17 @@ class Evaluator:
         random_baseline: List[str] = []
         num_entities = num_facts = caps_with_entities = caps_with_facts = 0
 
-        for start in range(0, n, self.batch_size):
-            idx = _pad_batch(np.arange(start, min(start + self.batch_size, n)),
-                             self.batch_size)
-            batch = data.batch(idx)
+        def batches():
+            for start in range(0, n, self.batch_size):
+                idx = _pad_batch(
+                    np.arange(start, min(start + self.batch_size, n)),
+                    self.batch_size,
+                )
+                yield start, data.batch(idx)
+
+        # overlap host-side HDF5 read + normalization with device decode
+        prefetched = ds.prefetch(batches(), lambda item: item)
+        for start, batch in prefetched:
             out = self.decode_batch(batch)
             count = min(self.batch_size, n - start)
             for b in range(count):
