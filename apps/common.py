@@ -170,19 +170,31 @@ def run_compute_eval_metrics(preset: str, argv=None):
 
     from icek_tpu.metrics.scores import score_captions
 
-    generated = pd.read_csv(args.captions)["generated_caption"].fillna("").values
+    generated_raw = pd.read_csv(args.captions)["generated_caption"].fillna("").tolist()
     with open(args.splits) as f:
         data = json.load(f)
-    test_imgs = [
-        img for img in data["images"]
-        if img["split"] == "test" and len(img["tokens"]) <= cfg.data.max_caption_len
+    # news filters test images by the prep max_len (news compute_eval_
+    # metrics.py:27-30); geo/knowledge take every test image and pad missing
+    # generated rows with "" (geo compute_eval_metrics.py:15-30)
+    if cfg.model.variant == "news":
+        test_imgs = [
+            img for img in data["images"]
+            if img["split"] == "test"
+            and len(img["tokens"]) <= cfg.data.max_caption_len
+        ]
+    else:
+        test_imgs = [img for img in data["images"] if img["split"] == "test"]
+    # underscores become spaces in both columns for every preset
+    true_captions = [
+        " ".join(img["tokens"]).replace("_", " ") for img in test_imgs
     ]
-    true_captions = [" ".join(img["tokens"]) for img in test_imgs]
+    generated = [
+        (generated_raw[i] if i < len(generated_raw) else "").replace("_", " ")
+        for i in range(len(test_imgs))
+    ]
     ids = [img["id"] for img in test_imgs]
     if cfg.model.variant == "news":
-        true_captions = [t.replace("_", " ") for t in true_captions]
-        generated = [g.replace("_", " ") for g in generated]
         from icek_tpu.metrics.ne_pr import NamedEntityPR
 
-        NamedEntityPR().compute(list(generated), true_captions)
-    score_captions(true_captions, list(generated), ids, output_csv=args.output)
+        NamedEntityPR().compute(generated, true_captions)
+    score_captions(true_captions, generated, ids, output_csv=args.output)
