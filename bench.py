@@ -92,12 +92,13 @@ def main():
         )
         return out
 
-    # warmup / compile
-    pipeline(images).block_until_ready()
+    # warmup / compile; force a value fetch — block_until_ready alone does
+    # not reliably drain the queue through the axon tunnel
+    int(np.asarray(pipeline(images))[0, 0])
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        pipeline(images).block_until_ready()
+        int(np.asarray(pipeline(images))[0, 0])
         times.append(time.perf_counter() - t0)
     best = min(times)
     caps_per_sec = BATCH / best

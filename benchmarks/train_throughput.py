@@ -53,7 +53,9 @@ def measure_icek(batch=64, iters=10):
     batch_data = jax.tree.map(jnp.asarray, batch_data)
     key = jax.random.PRNGKey(0)
     params, opt_state, loss, _ = train_step(params, opt_state, None, batch_data, key)
-    float(loss)
+    float(loss)  # force compile + sync (block_until_ready is unreliable
+    # through the axon tunnel — only a value fetch truly drains the queue)
+    iters = max(iters, 30)
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, loss, _ = train_step(
