@@ -317,3 +317,59 @@ def test_beam_matches_bruteforce_oracle(rng, variant):
         )
         assert list(np.asarray(got_tokens)[0]) == want_tokens, b
         np.testing.assert_allclose(float(got_logp[0]), want_logp, atol=1e-3)
+
+
+@pytest.mark.parametrize("shape_seed", [0, 1, 2])
+def test_greedy_parity_fuzzed_shapes(shape_seed):
+    """Forward + greedy parity across randomized dims/heads/context sizes —
+    guards broadcasting and indexing across shape combinations."""
+    import dataclasses
+
+    srng = np.random.default_rng(1000 + shape_seed)
+    heads = int(srng.choice([2, 4, 5]))
+    d = int(heads * srng.choice([6, 10]))
+    layers = int(srng.choice([1, 2]))
+    ffn = int(srng.choice([16, 48]))
+    E = int(srng.integers(3, 11))
+    F = int(srng.integers(2, 8))
+    P = int(srng.integers(5, 30))
+    max_len = int(srng.integers(5, 15))
+
+    ref_models, _ = reference_subproject("knowledge-aware")
+    torch.manual_seed(shape_seed)
+    wm = _toy_wordmap(n_words=int(srng.integers(10, 40)))
+    V = len(wm)
+    cfg = dataclasses.replace(
+        small_cfg("knowledge"),
+        emb_dim=d, num_heads=heads, num_layers=layers,
+        decoder_ffn_dim=ffn, encoder_ffn_dim=ffn, num_predicates=P,
+    )
+    ref = ref_models.DecoderTransformer(
+        word_map=wm, emb_dim=d, decoder_dim=ffn, encoder_dim=ffn,
+        num_heads=heads, num_layers=layers,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    ).eval()
+    ref.entity_encoder.type_embedding = nn.Embedding(cfg.type_vocab, cfg.type_emb_dim)
+    ref.num_predicates = P
+    ref.predicate_embedding = nn.Embedding(P, d)
+    ref.fact_encoder.predicate_embedding = ref.predicate_embedding
+    ref.fc_predicate = nn.Linear(P, d)
+    ref.eval()
+    params = port.import_captioner_state(ref.state_dict(), cfg)
+
+    img = srng.standard_normal((1, 3, d)).astype(np.float32)
+    ents = _geo_entities(srng, 1, E)
+    facts = _facts(srng, 1, F, E, P)
+    with torch.no_grad():
+        want = ref.predict(
+            torch.tensor(img).permute(0, 2, 1), max_len,
+            torch.tensor(ents), torch.tensor(facts.astype(np.int64)),
+        ).numpy()[:, 0]
+    ctx = greedy.prepare_decode_context(
+        params, cfg, jnp.asarray(img), jnp.asarray(ents), jnp.asarray(facts)
+    )
+    got = greedy.greedy_decode(
+        params, cfg, V, E, wm["<start>"], wm["<end>"], wm["<pad>"],
+        ctx, max_len,
+    )
+    np.testing.assert_array_equal(np.asarray(got)[0], want)
