@@ -28,7 +28,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from icek_tpu.data.codec import (
-    NAME_WIDTH,
     PAD_CHAR,
     UNK_ENT,
     UNK_FACT,

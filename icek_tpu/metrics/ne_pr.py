@@ -14,7 +14,7 @@ metric's comparative structure.
 from __future__ import annotations
 
 import re
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence
 
 _WORD_RE = re.compile(r"[A-Za-z0-9'’_-]+|[.,!?;:]")
 

@@ -20,7 +20,7 @@ Weights import from a torchvision ``resnet101`` state_dict via
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

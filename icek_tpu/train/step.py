@@ -11,7 +11,6 @@ and numerically identical for mean-CE.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
