@@ -239,6 +239,9 @@ def beam_decode(
     prev_token = jnp.full((B, K), start_id, jnp.int32)
     prev_kind = jnp.zeros((B, K), jnp.int32)
     seen = jnp.zeros((B, K, num_entity_rows), jnp.float32)
+    pred_ind = jnp.zeros(
+        (B, K, cfg.num_predicates if cfg.has_facts else 1), jnp.float32
+    )
     finished = jnp.zeros((B, K), bool)
     lengths = jnp.zeros((B, K), jnp.int32)
     # Only beam 0 is alive at step 0 (all beams start identical).
@@ -258,8 +261,8 @@ def beam_decode(
     )
 
     def step(state):
-        (i, tokens, prev_token, prev_kind, seen, finished, lengths, log_probs,
-         caches, ancestry) = state
+        (i, tokens, prev_token, prev_kind, seen, pred_ind, finished, lengths,
+         log_probs, caches, ancestry) = state
         # this step's K/V land in the hypothesis's own slot
         ancestry = jax.lax.dynamic_update_slice(
             ancestry,
@@ -275,20 +278,12 @@ def beam_decode(
             params["decoder"], x, caches, ancestry, i, ctx.cross_kvs, H,
             head_mask, group, compute_dtype,
         )
-        fact_before = pred_ind = None
+        fact_before = None
         if cfg.has_facts:
             fact_before = jnp.take_along_axis(
                 seen, jnp.broadcast_to(subj[:, None, :], seen.shape[:2] + subj.shape[-1:]),
                 axis=2,
             )  # (B, K, F)
-            pred_ind = (
-                jnp.einsum(
-                    "bkf,bfp->bkp",
-                    fact_before.astype(ctx.pred_onehot.dtype),
-                    ctx.pred_onehot,
-                )
-                > 0
-            ).astype(jnp.float32)
         if use_fused_scores:
             # Pallas fused vocab-matmul + per-hypothesis top-K + logsumexp:
             # the (B*K, S) score tensor never reaches HBM.  Global top-K is
@@ -348,6 +343,7 @@ def beam_decode(
         # caches stay in place — only the ancestry rows are gathered.
         tokens = _gather_parents(tokens, parent)
         seen = _gather_parents(seen, parent)
+        pred_ind = _gather_parents(pred_ind, parent)
         fin_parent = _gather_parents(finished, parent)
         len_parent = _gather_parents(lengths, parent)
         ancestry = _gather_parents(ancestry, parent)
@@ -362,29 +358,35 @@ def beam_decode(
         now_finished = fin_parent | (token == end_id)
         kind = _token_kind(token, vocab_size, num_entity_rows, cfg.has_facts)
         is_ent = (token >= vocab_size) & (token < vocab_size + num_entity_rows) & emit
+        ent_idx = jnp.clip(token - vocab_size, 0, num_entity_rows - 1)
         ent_onehot = jax.nn.one_hot(
-            jnp.clip(token - vocab_size, 0, num_entity_rows - 1),
-            num_entity_rows, dtype=jnp.float32,
+            ent_idx, num_entity_rows, dtype=jnp.float32
         ) * is_ent[..., None]
         seen = jnp.maximum(seen, ent_onehot)
+        if cfg.has_facts:
+            # accumulate the emitted entity's predicate mask (gathered row)
+            row = jnp.take_along_axis(
+                ctx.ent_pred, ent_idx[:, :, None], axis=1
+            ).astype(jnp.float32)
+            pred_ind = jnp.maximum(pred_ind, row * is_ent[..., None])
 
         next_token = jnp.where(emit, token, pad_id)
         next_kind = jnp.where(emit, kind, 0)
         return (
-            i + 1, tokens, next_token, next_kind, seen, now_finished, lengths,
-            top_vals, new_caches, ancestry,
+            i + 1, tokens, next_token, next_kind, seen, pred_ind, now_finished,
+            lengths, top_vals, new_caches, ancestry,
         )
 
     def cond(state):
-        i, finished = state[0], state[5]
+        i, finished = state[0], state[6]
         return (i < max_len) & ~jnp.all(finished)
 
     state = (
-        jnp.int32(0), tokens, prev_token, prev_kind, seen, finished, lengths,
-        log_probs, caches, ancestry,
+        jnp.int32(0), tokens, prev_token, prev_kind, seen, pred_ind, finished,
+        lengths, log_probs, caches, ancestry,
     )
     state = jax.lax.while_loop(cond, step, state)
-    tokens, lengths, log_probs = state[1], state[6], state[7]
+    tokens, lengths, log_probs = state[1], state[7], state[8]
 
     if length_normalize:
         rank = log_probs / jnp.maximum(lengths, 1)

@@ -38,7 +38,7 @@ class DecodeContext(NamedTuple):
     facts_encoded: Optional[jnp.ndarray]      # (B, F, D) or None
     fact_features: Optional[jnp.ndarray]      # (B, F, 3) or None
     cross_kvs: tuple                          # per-layer cross-attention K/V
-    pred_onehot: Optional[jnp.ndarray]        # (B, F, P) predicate one-hots
+    ent_pred: Optional[jnp.ndarray]           # (B, E, P) per-entity predicate masks
 
 
 def prepare_decode_context(
@@ -52,15 +52,25 @@ def prepare_decode_context(
     cross_kvs = tfm.precompute_cross_kv(
         params["decoder"], memory, cfg.num_heads, compute_dtype
     )
-    pred_onehot = None
+    ent_pred = None
     if cfg.has_facts:
-        # materialized once so the decode loop never rebuilds the (B, F, P)
-        # one-hot tensor per step
+        # Per-ENTITY predicate masks, materialized once: ent_pred[b,e,p]=1
+        # iff some fact with subject e has predicate p.  The decode loop then
+        # accumulates the predicate indicator by GATHERING the emitted
+        # entity's row (a few MB/step) instead of contracting the full
+        # (B,F,P) one-hot every step (hundreds of MB/step for news).
+        subj_onehot = jax.nn.one_hot(
+            fact_features[:, :, 1].astype(jnp.int32),
+            entity_features.shape[1], dtype=compute_dtype,
+        )  # (B, F, E)
         pred_onehot = jax.nn.one_hot(
             fact_features[:, :, 2].astype(jnp.int32), cfg.num_predicates,
             dtype=compute_dtype,
-        )
-    return DecodeContext(ents, facts, fact_features, tuple(cross_kvs), pred_onehot)
+        )  # (B, F, P)
+        ent_pred = (
+            jnp.einsum("bfe,bfp->bep", subj_onehot, pred_onehot) > 0
+        ).astype(compute_dtype)
+    return DecodeContext(ents, facts, fact_features, tuple(cross_kvs), ent_pred)
 
 
 def _token_kind(token, vocab_size, num_entity_rows, has_facts):
@@ -191,6 +201,14 @@ def greedy_decode(
     output = jnp.full((B, max_len), pad_id, jnp.int32)
     second = jnp.zeros((B, max_len), jnp.int32)
     seen = jnp.zeros((B, num_entity_rows), jnp.float32)
+    pred_ind = (
+        jnp.zeros((B, cfg.num_predicates), jnp.float32)
+        if cfg.has_facts else jnp.zeros((B, 1), jnp.float32)
+    )
+    subj = (
+        ctx.fact_features[:, :, 1].astype(jnp.int32)
+        if ctx.fact_features is not None else None
+    )
     finished = jnp.zeros((B,), bool)
     caches = tfm.init_self_kv_cache(
         cfg.num_layers, B, max_len, H, D // H,
@@ -198,7 +216,8 @@ def greedy_decode(
     )
 
     def step(state):
-        i, captions, masks, output, second, seen, finished, caches = state
+        (i, captions, masks, output, second, seen, pred_ind, finished,
+         caches) = state
         token = jax.lax.dynamic_slice_in_dim(captions, i, 1, axis=1)       # (B,1)
         tmask = jax.lax.dynamic_slice_in_dim(masks, i, 1, axis=1)
         emb = cap.embed_captions(
@@ -211,11 +230,9 @@ def greedy_decode(
             deterministic=True, compute_dtype=compute_dtype,
             kv_caches=caches, cache_index=i, cross_kvs=ctx.cross_kvs,
         )
-        fact_before = pred_ind = None
+        fact_before = None
         if cfg.has_facts:
-            fact_before, pred_ind = cap.indicators_from_seen(
-                seen, ctx.fact_features, cfg.num_predicates, ctx.pred_onehot
-            )
+            fact_before = jnp.take_along_axis(seen, subj, axis=1)  # (B, F)
         if use_fused_scores:
             from icek_tpu.kernels import copy_scores as cs
 
@@ -269,20 +286,28 @@ def greedy_decode(
             axis=1,
         )
         is_ent = (out >= vocab_size) & (out < vocab_size + num_entity_rows)
+        gate = (is_ent & active & ~end_hit)[:, None]
+        ent_idx = jnp.clip(out - vocab_size, 0, num_entity_rows - 1)
         ent_onehot = jax.nn.one_hot(
-            jnp.clip(out - vocab_size, 0, num_entity_rows - 1),
-            num_entity_rows,
-            dtype=jnp.float32,
-        ) * (is_ent & active & ~end_hit)[:, None]
+            ent_idx, num_entity_rows, dtype=jnp.float32
+        ) * gate
         seen = jnp.maximum(seen, ent_onehot)
+        if cfg.has_facts:
+            # accumulate the emitted entity's predicate mask
+            row = jnp.take_along_axis(
+                ctx.ent_pred, ent_idx[:, None, None], axis=1
+            )[:, 0].astype(jnp.float32)
+            pred_ind = jnp.maximum(pred_ind, row * gate)
         finished = finished | (active & end_hit)
-        return i + 1, captions, masks, output, second, seen, finished, caches
+        return (i + 1, captions, masks, output, second, seen, pred_ind,
+                finished, caches)
 
     def cond(state):
         i = state[0]
-        finished = state[6]
+        finished = state[7]
         return (i < max_len) & ~jnp.all(finished)
 
-    state = (jnp.int32(0), captions, masks, output, second, seen, finished, caches)
+    state = (jnp.int32(0), captions, masks, output, second, seen, pred_ind,
+             finished, caches)
     state = jax.lax.while_loop(cond, step, state)
     return state[3]
