@@ -69,15 +69,14 @@ def main():
 
     start_id, end_id, pad_id = VOCAB - 2, VOCAB - 1, 0
 
+    # encode + context/memory prep + decode in ONE jitted executable:
+    # separate jits cost ~30ms of dispatch each through the runtime boundary
     @jax.jit
-    def encode(imgs):
-        return resnet.resnet_encode(
+    def pipeline(imgs):
+        tokens = resnet.resnet_encode(
             encoder_params, imgs, mcfg.encoded_image_size,
             compute_dtype=compute_dtype,
         )
-
-    def pipeline(imgs):
-        tokens = encode(imgs)
         ctx = greedy_lib.prepare_decode_context(
             params, mcfg, tokens, ents, compute_dtype=compute_dtype
         )
