@@ -501,3 +501,46 @@ def test_news_end_to_end(tmp_path):
     df = pd.read_csv(csv_path)
     assert "generated_mask" in df.columns  # the news-specific column
     assert len(df) == 2
+
+
+def test_empty_entity_context(tmp_path):
+    """Images whose entity table is empty get an all-dummy context and the
+    caption's entity tokens fall back to <unk_ent> (reference pads the same
+    way, geo utils.py:237-252)."""
+    pd = pytest.importorskip("pandas")
+    from PIL import Image
+
+    cfg = tiny_cfg()
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    ).save(img_dir / "img0.jpg")
+    images = [{
+        "tokens": ["a", "bridge", "somewhere"],
+        "mask": [0, 0, 1],
+        "url": "u0", "id": "img0", "split": "train",
+    }]
+    contexts = {"u0": pd.DataFrame(
+        {"name": [], "distance": [], "azimuth": [], "size": [], "type_index": []}
+    )}
+    with open(tmp_path / "captions_split.json", "w") as f:
+        json.dump({"images": images}, f)
+    with open(tmp_path / "entity_context.pkl", "wb") as f:
+        pickle.dump(contexts, f)
+    out_dir = tmp_path / "files"
+    writer = input_files.InputFileWriter(
+        cfg, str(tmp_path / "captions_split.json"),
+        str(tmp_path / "entity_context.pkl"), str(img_dir), str(out_dir),
+        seed=0,
+    )
+    wm = writer.run()
+    data = ds.CaptionDataset(str(out_dir), "tiny_geo", "TRAIN")
+    assert len(data) == 1
+    E = cfg.data.entity_context_size
+    # the entity token mapped to the first dummy (<unk_ent>) row, index 0
+    caps = data.arrays.caption_ids[0]
+    ent_positions = np.where(data.arrays.caption_mask[0] == 1)[0]
+    assert len(ent_positions) == 1
+    assert caps[ent_positions[0]] == len(wm) + 0
