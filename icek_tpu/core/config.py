@@ -114,7 +114,11 @@ class DecodeConfig:
     """Inference settings (reference: */eval.py)."""
 
     max_caption_len: int = 30        # geo eval.py:131; knowledge/news use 40
-    beam_size: int = 1               # 1 = greedy (reference capability); >1 = beam
+    # Beam-5 is the flagship configuration every benchmark measures
+    # (bench.py, BASELINE.md); 1 = greedy, the reference's only capability
+    # (geo-aware/models.py:412).  The eval CLI with no flags therefore runs
+    # the benchmarked configuration.
+    beam_size: int = 5
     batch_size: int = 1              # reference uses 1; we support batched decode
 
 

@@ -61,6 +61,18 @@ def trim_trailing_sentence(caption: str) -> str:
     return caption
 
 
+def trim_lockstep(leader: str, follower: str) -> str:
+    """Trim `follower`'s last sentence iff `leader` needs trimming.
+
+    The reference trims the random-fact baseline caption in lockstep with
+    the main caption — the trim condition is evaluated on the MAIN caption's
+    text, then applied to both (knowledge-aware/eval.py:169-172).
+    """
+    if not leader.endswith(".") and leader.count(".") > 1:
+        return ".".join(follower.split(".")[:-1]) + "."
+    return follower
+
+
 def caption_text(
     seq: Sequence[int],
     wordmap: Wordmap,

@@ -163,7 +163,8 @@ class Evaluator:
                 tokens, kinds = detok.detokenize(
                     out[b], self.wordmap, ent_names, fact_names
                 )
-                text = detok.trim_trailing_sentence(" ".join(tokens))
+                raw_text = " ".join(tokens)
+                text = detok.trim_trailing_sentence(raw_text)
                 captions.append(text)
                 masks.append(kinds)
                 if 1 in kinds:
@@ -179,9 +180,16 @@ class Evaluator:
                         ent_names,
                     )
                 if predicate_to_objects is not None and fact_names is not None:
+                    # Trim in lockstep with the main caption: the reference
+                    # evaluates the trim condition on the main caption and
+                    # applies it to both (knowledge-aware/eval.py:169-172).
                     random_baseline.append(
-                        _random_fact_caption(
-                            tokens, kinds, fact_names, predicate_to_objects, rng
+                        detok.trim_lockstep(
+                            raw_text,
+                            _random_fact_caption(
+                                tokens, kinds, fact_names,
+                                predicate_to_objects, rng,
+                            ),
                         )
                     )
 
@@ -231,7 +239,8 @@ def _random_fact_caption(
 ) -> str:
     """Random-fact-object baseline caption (knowledge-aware/eval.py:81-156):
     replace each generated fact token with a random same-type object (shares
-    a predicate in the corpus) from the image's knowledge context."""
+    a predicate in the corpus) from the image's knowledge context.  Returned
+    UNTRIMMED — the caller trims it in lockstep with the main caption."""
     from icek_tpu.metrics.fact_accuracy import is_year
 
     years, others = [], []
@@ -257,4 +266,4 @@ def _random_fact_caption(
                     x for x in objects if x != tok and x in others
                 )
         out.append(rng.choice(same_type) if same_type else UNK_FACT)
-    return detok.trim_trailing_sentence(" ".join(out))
+    return " ".join(out)

@@ -19,6 +19,7 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -87,11 +88,17 @@ def load_checkpoint(path: str, opt_state_template: Any = None) -> Tuple[Any, Any
     leaves = payload.get("opt_leaves", [])
     if opt_state_template is not None and len(leaves):
         treedef = jax.tree.structure(opt_state_template)
-        opt_state = jax.tree.unflatten(treedef, list(leaves))
+        opt_state = jax.tree.unflatten(
+            treedef, [jnp.asarray(x) for x in leaves]
+        )
+    # Restore as device arrays: model code indexes param tables with traced
+    # ids (e.g. captioner.encode_entities' type_embedding gather), which
+    # raises TracerArrayConversionError on raw numpy leaves under jit.
+    to_device = lambda tree: jax.tree.map(jnp.asarray, tree)  # noqa: E731
     return (
-        payload["params"],
+        to_device(payload["params"]),
         opt_state,
-        payload["encoder_params"] or None,
+        to_device(payload["encoder_params"]) if payload["encoder_params"] else None,
         meta,
     )
 

@@ -1,0 +1,81 @@
+"""Eval-driver behavioral details vs the reference eval scripts.
+
+Covers the caption cleanup coupling: the random-fact baseline caption is
+trimmed in LOCKSTEP with the main caption — the trim condition is evaluated
+on the main caption's text and then applied to both strings
+(knowledge-aware/eval.py:169-172).
+"""
+
+import random
+
+import numpy as np
+
+from icek_tpu.data import codec
+from icek_tpu.decode import detok
+from icek_tpu.eval_driver import _random_fact_caption
+
+
+def test_trim_lockstep_crafted_cases():
+    # leader needs trimming -> follower loses ITS OWN last sentence, even if
+    # the follower would not qualify on its own text.
+    leader = "a house . near a lake . with trees"
+    follower = "a house . near 1990 . with facts"
+    assert detok.trim_lockstep(leader, follower) == "a house . near 1990 ."
+    # follower already "."-terminated: the reference's split/join is a no-op
+    # (the last split segment is empty), so the follower stays intact.
+    assert (
+        detok.trim_lockstep(leader, "a . b . c .") == "a . b . c ."
+    )
+    # leader terminated -> follower untouched, even when the follower's own
+    # text would qualify for trimming.
+    leader2 = "a house . near a lake ."
+    follower2 = "a barn . by 1990 . and more"
+    assert detok.trim_lockstep(leader2, follower2) == follower2
+    # leader with <2 dots is never trimmed (reference condition count(".")>1)
+    assert detok.trim_lockstep("one sentence", "x . y") == "x . y"
+
+
+def _fact_row(name: str) -> list:
+    return [0, len(name)] + codec.encode_name(name)
+
+
+def test_random_fact_baseline_trims_with_main_caption():
+    """Mirror of the reference flow: build main + baseline token streams,
+    then apply the single lockstep cleanup (knowledge-aware/eval.py:166-172)."""
+    fact_names = np.array(
+        [_fact_row("1923"), _fact_row("castle"), _fact_row("tower"),
+         _fact_row("<pad>")],
+        dtype=np.int64,
+    )
+    predicate_to_objects = {"builtIn": ["castle", "tower"]}
+    # main caption: fact token then an unterminated trailing sentence
+    tokens = ["built", "in", "castle", ".", "also", ".", "see", "more"]
+    kinds = [0, 0, 2, 0, 0, 0, 0, 0]
+    rng = random.Random(0)
+    baseline_raw = _random_fact_caption(
+        tokens, kinds, fact_names, predicate_to_objects, rng
+    )
+    # _random_fact_caption itself must NOT trim (the caller owns cleanup)
+    assert baseline_raw.endswith("more")
+
+    main_raw = " ".join(tokens)
+    main = detok.trim_trailing_sentence(main_raw)
+    baseline = detok.trim_lockstep(main_raw, baseline_raw)
+    assert main == "built in castle . also ."
+    # the baseline lost its own trailing sentence in lockstep
+    assert baseline.endswith(".")
+    assert "more" not in baseline
+    # fact token replaced by a same-type object from the knowledge context
+    first_word = baseline.split()[2]
+    assert first_word in {"castle", "tower"}
+
+
+def test_random_fact_baseline_untouched_when_main_terminated():
+    fact_names = np.array([_fact_row("1923"), _fact_row("<pad>")], np.int64)
+    tokens = ["in", "1923", ".", "done", "."]
+    kinds = [0, 2, 0, 0, 0]
+    rng = random.Random(1)
+    baseline_raw = _random_fact_caption(tokens, kinds, fact_names, {}, rng)
+    main_raw = " ".join(tokens)
+    assert detok.trim_trailing_sentence(main_raw) == main_raw
+    assert detok.trim_lockstep(main_raw, baseline_raw) == baseline_raw
