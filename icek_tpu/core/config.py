@@ -43,6 +43,10 @@ class ModelConfig:
     # (reference: news models.py:127-133, news utils.py:232-244).
     entity_name_embedding: bool = False
     max_pos_len: int = 5000         # positional-encoding table length
+    # Fused Pallas training attention with in-kernel PRNG attention-weight
+    # dropout (kernels/flash_attention.py).  None = auto: on for TPU, off on
+    # CPU (where the kernel would run under the slow Mosaic interpreter).
+    use_flash_attention: Optional[bool] = None
 
     @property
     def has_facts(self) -> bool:

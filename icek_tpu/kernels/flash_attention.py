@@ -1,0 +1,345 @@
+"""Pallas TPU kernel: fused training attention with in-kernel PRNG dropout.
+
+The train step's profiled hotspot is the (B, H, 301, 301) attention inside
+the entity/fact context encoders plus the decoder's self/cross attention
+(reference semantics: attention-weight dropout inside nn.TransformerEncoder /
+nn.TransformerDecoder, knowledge-aware/models.py:324, geo-aware/models.py:241).
+The stock XLA path materializes the (B, H, Tq, Tk) softmax weights in HBM,
+generates a threefry dropout mask of the same shape (~100 VPU ops/element),
+and saves both as residuals for the backward pass.
+
+This kernel never writes the weights to HBM at all:
+
+  forward   per (b, h): S = QK^T, masked softmax, hardware-PRNG dropout,
+            O = (dropout(P)) V — one program, everything in VMEM.
+  backward  recomputes S and P from the saved Q/K/V (identical reduction
+            order => identical values), regenerates the *same* dropout mask
+            by reseeding the hardware PRNG with the same (seed, b, h), and
+            produces dQ/dK/dV in one program per (b, h).
+
+Layout: head_dim 30 is lane-hostile, so Q/K/V arrive PACKED as
+(B, T, H * 128) — each head padded to a full 128-lane slot.  The caller
+produces this layout for free by zero-padding the projection weights
+(see `pack_heads` / models/transformer.py): the projection GEMM then emits
+the packed tensor directly and no transpose/pad/slice passes ever touch the
+(B, T, H, Hd) activations (those cost ~40% of the train step when done as
+separate XLA ops).  Zero pad lanes contribute zero to every contraction.
+
+Sequence lengths here are small enough (Tk <= 896 across all presets) that a
+full (Tq, Tk) tile per (b, h) fits VMEM comfortably — no online-softmax
+streaming needed.
+
+On CPU the kernel runs under the Mosaic interpreter (pltpu.InterpretParams),
+where prng_random_bits returns zeros; `keep = u < 1-rate` then keeps every
+weight, so CPU tests exercise the deterministic path only.  Dropout
+statistics and fwd/bwd mask-consistency tests are TPU-gated
+(tests/test_tpu_smoke.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+LANE = 128
+
+
+class _Static(NamedTuple):
+    causal: bool
+    q_len: int        # true query length (rows beyond it are padding)
+    kv_len: int       # true key/value length (cols beyond it are masked)
+    head_dim: int     # true head dim (sets the softmax scale)
+    rate: float       # attention-weight dropout rate
+    interpret: bool
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _prec(*operands):
+    """float32 operands get true-f32 MXU passes (the TPU default quietly
+    rounds f32 matmul inputs to bfloat16 — fine for the bf16 production
+    mode, wrong for the f32 parity mode)."""
+    if all(o.dtype == jnp.float32 for o in operands):
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
+def _masked_softmax(s, st: _Static):
+    """Masked softmax over the last axis; same op order in fwd and bwd."""
+    tq, tk = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    valid = col < st.kv_len
+    if st.causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        valid = jnp.logical_and(valid, col <= row)
+    s = jnp.where(valid, s, NEG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _keep_mask(shape, seed_ref, st: _Static):
+    """Regenerable dropout keep-mask from the hardware PRNG.
+
+    Seeded per (batch, head) program so the backward kernel reproduces the
+    exact mask by reseeding with the same values.
+    """
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + pid)  # Mosaic rejects multi-arg seeds here
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # top 24 bits as an int32 (Mosaic has no uint32->float cast) -> [0, 1)
+    u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return u < (1.0 - st.rate)
+
+
+def _scores(q_ref, k_ref, st: _Static):
+    scale = 1.0 / math.sqrt(st.head_dim)
+    return (
+        jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(q_ref, k_ref),
+        )
+        * scale
+    )
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, st: _Static):
+    p = _masked_softmax(_scores(q_ref, k_ref, st), st)
+    if st.rate > 0.0:
+        keep = _keep_mask(p.shape, seed_ref, st)
+        p = jnp.where(keep, p * (1.0 / (1.0 - st.rate)), 0.0)
+    o = jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32,
+        precision=_prec(v_ref),
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, st: _Static):
+    p = _masked_softmax(_scores(q_ref, k_ref, st), st)
+    if st.rate > 0.0:
+        inv = 1.0 / (1.0 - st.rate)
+        keep = _keep_mask(p.shape, seed_ref, st)
+        pd = jnp.where(keep, p * inv, 0.0)
+    else:
+        pd = p
+    do = do_ref[0]
+    # dV = dropout(P)^T dO
+    dv = jax.lax.dot_general(
+        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(do_ref),
+    )
+    # dP = dO V^T, routed back through the dropout mask
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(do_ref, v_ref),
+    )
+    if st.rate > 0.0:
+        dp = jnp.where(keep, dp * inv, 0.0)
+    # softmax backward: dS = P * (dP - sum(dP * P))
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+    ds = (ds * (1.0 / math.sqrt(st.head_dim))).astype(q_ref.dtype)
+    dq = jnp.dot(ds, k_ref[0], preferred_element_type=jnp.float32,
+                 precision=_prec(k_ref))
+    dk = jax.lax.dot_general(
+        ds, q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_prec(q_ref),
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _block_specs(tq_p, tk_p):
+    """Blocks over the packed (B, T_pad, H*LANE) layout: one (T_pad, LANE)
+    head slot per (b, h) program — lane-aligned, no relayouts."""
+    q_spec = pl.BlockSpec((1, tq_p, LANE), lambda b, h, s: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, tk_p, LANE), lambda b, h, s: (b, 0, h),
+                           memory_space=pltpu.VMEM)
+    return q_spec, kv_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash(st: _Static, q, k, v, seed):
+    out, _ = _flash_fwd(st, q, k, v, seed)
+    return out
+
+
+def _flash_fwd(st: _Static, q, k, v, seed):
+    B, tq_p, HL = q.shape
+    tk_p = k.shape[1]
+    H = HL // LANE
+    q_spec, kv_spec = _block_specs(tq_p, tk_p)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, st=st),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=pltpu.InterpretParams() if st.interpret else False,
+    )(seed, q, k, v)
+    return out, (q, k, v, seed)
+
+
+def _flash_bwd(st: _Static, res, g):
+    q, k, v, seed = res
+    B, tq_p, HL = q.shape
+    tk_p = k.shape[1]
+    H = HL // LANE
+    q_spec, kv_spec = _block_specs(tq_p, tk_p)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, st=st),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H),
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+            out_specs=(q_spec, kv_spec, kv_spec),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        interpret=pltpu.InterpretParams() if st.interpret else False,
+    )(seed, q, k, v, g)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def head_slot(head_dim: int) -> int:
+    """Lanes per packed head slot."""
+    return _round_up(head_dim, LANE)
+
+
+def pack_heads(w: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Zero-pad a (..., H*Hd) projection so each head occupies a full
+    lane-aligned slot: (..., H*Hd) -> (..., H*head_slot(Hd)).
+
+    Applying this to the Q/K/V projection weights (and biases) makes the
+    projection GEMM emit the kernel's packed layout directly — the padding
+    costs extra MXU flops instead of a separate HBM pad pass.
+    """
+    hd = w.shape[-1] // num_heads
+    slot = head_slot(hd)
+    if slot == hd:
+        return w
+    parts = w.reshape(w.shape[:-1] + (num_heads, hd))
+    parts = jnp.pad(parts, [(0, 0)] * (parts.ndim - 1) + [(0, slot - hd)])
+    return parts.reshape(w.shape[:-1] + (num_heads * slot,))
+
+
+def unpack_heads(w: jnp.ndarray, num_heads: int, head_dim: int) -> jnp.ndarray:
+    """Inverse of pack_heads on the last axis."""
+    slot = head_slot(head_dim)
+    if slot == head_dim:
+        return w
+    parts = w.reshape(w.shape[:-1] + (num_heads, slot))[..., :head_dim]
+    return parts.reshape(w.shape[:-1] + (num_heads * head_dim,))
+
+
+def pack_rows(w: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Zero-pad the FIRST axis of an (H*Hd, ...) matrix to head slots, so a
+    packed attention output can hit the out-projection GEMM directly."""
+    hd = w.shape[0] // num_heads
+    slot = head_slot(hd)
+    if slot == hd:
+        return w
+    parts = w.reshape((num_heads, hd) + w.shape[1:])
+    parts = jnp.pad(parts, [(0, 0), (0, slot - hd)] + [(0, 0)] * (w.ndim - 1))
+    return parts.reshape((num_heads * slot,) + w.shape[1:])
+
+
+def flash_mha_packed(
+    q: jnp.ndarray,                  # (B, Tq, H*head_slot) packed
+    k: jnp.ndarray,                  # (B, Tk, H*head_slot) packed
+    v: jnp.ndarray,                  # (B, Tk, H*head_slot) packed
+    *,
+    head_dim: int,
+    q_len: Optional[int] = None,     # true Tq (rows beyond are padding)
+    kv_len: Optional[int] = None,    # true Tk (cols beyond are masked)
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    seed: Optional[jnp.ndarray] = None,   # (1,) int32, required if rate > 0
+    interpret: Optional[bool] = None,
+):
+    """Fused attention over head-slot-packed tensors; returns the packed
+    (B, Tq_pad, H*head_slot) output (pad lanes and pad rows are zero/garbage
+    and fall out of the packed out-projection)."""
+    B, Tq, HL = q.shape
+    Tk = k.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    q_len = Tq if q_len is None else q_len
+    kv_len = Tk if kv_len is None else kv_len
+    sub = 16  # sublane multiple covering both float32 and bfloat16 tiles
+    tq_p, tk_p = _round_up(Tq, sub), _round_up(Tk, sub)
+    pad = lambda x, t: jnp.pad(x, ((0, 0), (0, t - x.shape[1]), (0, 0)))
+    q, k, v = pad(q, tq_p), pad(k, tk_p), pad(v, tk_p)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    st = _Static(
+        causal=causal, q_len=q_len, kv_len=kv_len, head_dim=head_dim,
+        rate=float(dropout_rate), interpret=bool(interpret),
+    )
+    out = _flash(st, q, k, v, seed.astype(jnp.int32))
+    return out[:, :Tq]
+
+
+def flash_mha(
+    q: jnp.ndarray,                  # (B, Tq, H, Hd)
+    k: jnp.ndarray,                  # (B, Tk, H, Hd)
+    v: jnp.ndarray,                  # (B, Tk, H, Hd)
+    *,
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    seed: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+):
+    """Per-head-shaped convenience wrapper (tests, ad-hoc use): packs heads
+    into lane slots (a pad, no transpose), runs the kernel, unpacks.
+    Equivalent (up to float reduction order) to
+        softmax(Q K^T / sqrt(Hd) + masks) -> attention-weight dropout -> @ V
+    i.e. the torch nn.MultiheadAttention training semantics the stock path in
+    models/transformer.py implements.  Returns (B, Tq, H, Hd).
+    """
+    B, Tq, H, Hd = q.shape
+    flat = lambda x: pack_heads(x.reshape(x.shape[0], x.shape[1], H * Hd), H)
+    out = flash_mha_packed(
+        flat(q), flat(k), flat(v), head_dim=Hd, causal=causal,
+        dropout_rate=dropout_rate, seed=seed, interpret=interpret,
+    )
+    return unpack_heads(out, H, Hd).reshape(B, Tq, H, Hd)
+
+
+def reference_mha(q, k, v, *, causal=False):
+    """Pure-XLA oracle with identical masking semantics (rate 0)."""
+    Hd = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(Hd)
+    logits = logits.astype(jnp.float32)
+    if causal:
+        Tq, Tk = q.shape[1], k.shape[1]
+        i = jnp.arange(Tq)[:, None]
+        j = jnp.arange(Tk)[None, :]
+        logits = jnp.where(j <= i, logits, NEG)
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)

@@ -320,6 +320,15 @@ def copy_scores(
 # Memory construction + teacher-forced forward
 # --------------------------------------------------------------------------
 
+def resolve_flash(cfg: ModelConfig, deterministic: bool) -> bool:
+    """Whether to use the fused Pallas training attention: the config flag,
+    or (None = auto) on for the dropout-active training pass on real TPU
+    backends (the decode/eval paths keep the separately-tuned stock path)."""
+    if cfg.use_flash_attention is not None:
+        return cfg.use_flash_attention
+    return not deterministic and jax.default_backend() == "tpu"
+
+
 def encode_memory(
     params,
     cfg: ModelConfig,
@@ -335,18 +344,19 @@ def encode_memory(
     Returns (memory (B, 196+E[+F], D), entities_encoded, facts_encoded).
     """
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    flash = resolve_flash(cfg, deterministic)
     ents = encode_entities(params, cfg, entity_features, fact_features)
     facts = None
     ent_ctx = tfm.encoder_stack(
         params["ctx_encoder_entities"], ents, cfg.num_heads, cfg.dropout_enc,
-        rngs[0], deterministic, compute_dtype,
+        rngs[0], deterministic, compute_dtype, flash=flash,
     )
     memory_parts = [image_tokens, ent_ctx]
     if cfg.has_facts:
         facts = encode_facts(params, fact_features, ents)
         fact_ctx = tfm.encoder_stack(
             params["ctx_encoder_facts"], facts, cfg.num_heads, cfg.dropout_enc,
-            rngs[1], deterministic, compute_dtype,
+            rngs[1], deterministic, compute_dtype, flash=flash,
         )
         memory_parts.append(fact_ctx)
     memory = jnp.concatenate(memory_parts, axis=1)
@@ -390,6 +400,7 @@ def captioner_forward(
         params["decoder"], emb, memory, cfg.num_heads,
         causal_mask=tfm.causal_mask(T), rate=cfg.dropout_dec, rng=rngs[2],
         deterministic=deterministic, compute_dtype=compute_dtype,
+        flash=resolve_flash(cfg, deterministic),
     )
     if cfg.has_facts:
         fact_before, pred_ind = context_indicators(

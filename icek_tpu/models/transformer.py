@@ -92,6 +92,8 @@ def multi_head_attention(
     kv_cache: Optional[dict] = None,
     cache_index: Optional[jnp.ndarray] = None,
     precomputed_kv: Optional[dict] = None,
+    flash: bool = False,
+    causal: bool = False,
 ):
     """Fused-projection MHA matching torch semantics.
 
@@ -101,6 +103,10 @@ def multi_head_attention(
     the on-device autoregressive decode path.
     With `precomputed_kv` (dict with "k"/"v" of shape (B, Tk, H, Hd)) the
     projections of a static memory are reused (cross-attention decode path).
+    With `flash` (training path only: no caches), the attention core runs as
+    the fused Pallas kernel (kernels/flash_attention.py) with in-kernel PRNG
+    attention-weight dropout; `causal` then replaces `attn_mask` (the only
+    mask shape the training passes use).
     Returns (output, updated_cache_or_None).
     """
     B, Tq, D = q_in.shape
@@ -108,6 +114,42 @@ def multi_head_attention(
     Hd = D // H
     w = params["qkv_w"].astype(compute_dtype)
     b = params["qkv_b"].astype(compute_dtype)
+
+    if flash and kv_cache is None and precomputed_kv is None:
+        # Fused Pallas path: zero-pad the projection weights so the GEMMs
+        # emit the kernel's lane-aligned packed (B, T, H*slot) layout
+        # directly — no transpose/pad/slice passes on the activations.
+        from icek_tpu.kernels import flash_attention as fa
+
+        Tk = kv_in.shape[1]
+        sub = 16
+        tq_p, tk_p = -(-Tq // sub) * sub, -(-Tk // sub) * sub
+        q_src = q_in.astype(compute_dtype)
+        if tq_p != Tq:
+            q_src = jnp.pad(q_src, ((0, 0), (0, tq_p - Tq), (0, 0)))
+        if kv_in is q_in and tk_p == tq_p:
+            kv_src = q_src
+        else:
+            kv_src = kv_in.astype(compute_dtype)
+            if tk_p != Tk:
+                kv_src = jnp.pad(kv_src, ((0, 0), (0, tk_p - Tk), (0, 0)))
+        qp = q_src @ fa.pack_heads(w[:, :D], H) + fa.pack_heads(b[:D], H)
+        kp = kv_src @ fa.pack_heads(w[:, D:2 * D], H) + fa.pack_heads(b[D:2 * D], H)
+        vp = kv_src @ fa.pack_heads(w[:, 2 * D:], H) + fa.pack_heads(b[2 * D:], H)
+        rate = 0.0 if deterministic else dropout_rate
+        seed = None
+        if rate > 0.0 and dropout_key is not None:
+            seed = jax.random.randint(
+                dropout_key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+        outp = fa.flash_mha_packed(
+            qp, kp, vp, head_dim=Hd, q_len=Tq, kv_len=Tk, causal=causal,
+            dropout_rate=rate, seed=seed,
+        )
+        wo = fa.pack_rows(params["out"]["w"].astype(compute_dtype), H)
+        y = outp @ wo + params["out"]["b"].astype(compute_dtype)
+        return y[:, :Tq], None
+
     q = q_in.astype(compute_dtype) @ w[:, :D] + b[:D]
     q = q.reshape(B, Tq, H, Hd)
     if precomputed_kv is not None:
@@ -185,14 +227,14 @@ def _ffn(params, x, rate, key, deterministic, compute_dtype):
 
 def encoder_layer(
     params, x, num_heads, rate=0.0, rng=None, deterministic=True,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, flash=False,
 ):
     """Post-LN transformer encoder layer (self-attn + FFN)."""
     keys = jax.random.split(rng, 4) if rng is not None else [None] * 4
     attn, _ = multi_head_attention(
         params["self_attn"], x, x, num_heads,
         dropout_rate=rate, dropout_key=keys[0], deterministic=deterministic,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, flash=flash,
     )
     x = layer_norm(params["norm1"], x + dropout(attn, rate, keys[1], deterministic))
     ff = _ffn(params["ffn"], x, rate, keys[2], deterministic, compute_dtype)
@@ -218,7 +260,7 @@ def init_decoder_layer(key, d_model, ffn_dim):
 def decoder_layer(
     params, x, memory, num_heads, causal_mask=None, rate=0.0, rng=None,
     deterministic=True, compute_dtype=jnp.float32,
-    kv_cache=None, cache_index=None, cross_kv=None,
+    kv_cache=None, cache_index=None, cross_kv=None, flash=False,
 ):
     """Post-LN transformer decoder layer (masked self-attn, cross-attn, FFN).
 
@@ -233,12 +275,13 @@ def decoder_layer(
         params["self_attn"], x, x, num_heads, attn_mask=causal_mask,
         dropout_rate=rate, dropout_key=keys[0], deterministic=deterministic,
         compute_dtype=compute_dtype, kv_cache=self_cache, cache_index=cache_index,
+        flash=flash, causal=causal_mask is not None,
     )
     x = layer_norm(params["norm1"], x + dropout(attn, rate, keys[1], deterministic))
     cross, _ = multi_head_attention(
         params["cross_attn"], x, memory, num_heads,
         dropout_rate=rate, dropout_key=keys[2], deterministic=deterministic,
-        compute_dtype=compute_dtype, precomputed_kv=cross_kv,
+        compute_dtype=compute_dtype, precomputed_kv=cross_kv, flash=flash,
     )
     x = layer_norm(params["norm2"], x + dropout(cross, rate, keys[3], deterministic))
     ff = _ffn(params["ffn"], x, rate, keys[4], deterministic, compute_dtype)
@@ -256,10 +299,11 @@ def init_encoder_stack(key, num_layers, d_model, ffn_dim):
 
 
 def encoder_stack(params, x, num_heads, rate=0.0, rng=None, deterministic=True,
-                  compute_dtype=jnp.float32):
+                  compute_dtype=jnp.float32, flash=False):
     for i, layer in enumerate(params["layers"]):
         sub = jax.random.fold_in(rng, i) if rng is not None else None
-        x = encoder_layer(layer, x, num_heads, rate, sub, deterministic, compute_dtype)
+        x = encoder_layer(layer, x, num_heads, rate, sub, deterministic,
+                          compute_dtype, flash=flash)
     return x
 
 
@@ -274,7 +318,7 @@ def init_decoder_stack(key, num_layers, d_model, ffn_dim):
 
 def decoder_stack(params, x, memory, num_heads, causal_mask=None, rate=0.0,
                   rng=None, deterministic=True, compute_dtype=jnp.float32,
-                  kv_caches=None, cache_index=None, cross_kvs=None):
+                  kv_caches=None, cache_index=None, cross_kvs=None, flash=False):
     """Run the decoder layers; returns (output, new_kv_caches_or_None)."""
     new_caches = [] if kv_caches is not None else None
     for i, layer in enumerate(params["layers"]):
@@ -284,6 +328,7 @@ def decoder_stack(params, x, memory, num_heads, causal_mask=None, rate=0.0,
         x, new_self = decoder_layer(
             layer, x, memory, num_heads, causal_mask, rate, sub, deterministic,
             compute_dtype, kv_cache=cache, cache_index=cache_index, cross_kv=cross,
+            flash=flash,
         )
         if new_caches is not None:
             new_caches.append({"self": new_self})

@@ -62,3 +62,136 @@ def test_fused_score_topk_tie_breaking(rng):
     want_v, want_i, _ = cs.reference_score_topk(h, wv, bv, tail, k=3)
     got_v, got_i, _ = _run_fused(h, wv, bv, tail, 3)
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+# ---------------------------------------------------------------------------
+# Fused training attention (kernels/flash_attention.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("tq,tk", [(17, 17), (13, 37), (30, 301)])
+def test_flash_mha_matches_oracle(rng, causal, tq, tk):
+    """Deterministic fwd + bwd vs the pure-XLA oracle (interpret on CPU)."""
+    from icek_tpu.kernels import flash_attention as fa
+
+    B, H, Hd = 2, 3, 30
+    q = jnp.asarray(rng.standard_normal((B, tq, H, Hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, tk, H, Hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, tk, H, Hd)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, tq, H, Hd)).astype(np.float32))
+    out = fa.flash_mha(q, k, v, causal=causal)
+    want = fa.reference_mha(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+    grads = jax.grad(
+        lambda *a: jnp.sum(fa.flash_mha(*a, causal=causal) * g), argnums=(0, 1, 2)
+    )(q, k, v)
+    wants = jax.grad(
+        lambda *a: jnp.sum(fa.reference_mha(*a, causal=causal) * g),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for got_g, want_g in zip(grads, wants):
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(want_g), atol=5e-5
+        )
+
+
+def test_flash_mha_bf16(rng):
+    from icek_tpu.kernels import flash_attention as fa
+
+    B, T, H, Hd = 2, 21, 2, 30
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((B, T, H, Hd)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    out = fa.flash_mha(q, k, v)
+    want = fa.reference_mha(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32), atol=0.05
+    )
+
+
+@pytest.mark.parametrize("variant", ["geo", "knowledge"])
+def test_flash_captioner_forward_matches_stock(rng, variant):
+    """captioner_forward with the flash path on (deterministic) equals the
+    stock attention path on the full model, both context-encoder variants."""
+    import dataclasses
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.models import captioner as cap
+
+    cfg = (config_lib.georic() if variant == "geo" else config_lib.k_georic()).model
+    cfg_small = dataclasses.replace(cfg, emb_dim=40, num_heads=4,
+                                    decoder_ffn_dim=64, encoder_ffn_dim=64,
+                                    num_layers=2, type_vocab=50,
+                                    num_predicates=20 if cfg.has_facts else 0)
+    V, E, F, B, T = 60, 9, 5, 2, 7
+    params = cap.init_captioner_params(jax.random.PRNGKey(0), cfg_small, V)
+    tokens = jnp.asarray(rng.standard_normal((B, 12, 40)).astype(np.float32))
+    ents = np.zeros((B, E, 5), np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 4] = rng.integers(0, 50, (B, E))
+    facts = None
+    if cfg_small.has_facts:
+        facts = np.zeros((B, F, 3), np.float32)
+        facts[:, :, 0] = np.arange(F)
+        facts[:, :, 1] = rng.integers(0, E, (B, F))
+        facts[:, :, 2] = rng.integers(0, 20, (B, F))
+        facts = jnp.asarray(facts)
+    caps = jnp.asarray(rng.integers(1, V, (B, T)).astype(np.int32))
+    mask = jnp.zeros((B, T), jnp.int32)
+
+    def fwd(flash):
+        c = dataclasses.replace(cfg_small, use_flash_attention=flash)
+        return cap.captioner_forward(
+            params, c, V, 0, caps, mask, tokens, jnp.asarray(ents), facts,
+            deterministic=True,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(fwd(True)), np.asarray(fwd(False)), atol=3e-5
+    )
+
+
+def test_flash_train_step_grads_finite(rng):
+    """Flash path with dropout active: the train step produces finite loss
+    and gradients (full statistics are TPU-gated; interpret-mode PRNG keeps
+    every weight)."""
+    import dataclasses
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.models import captioner as cap
+    from icek_tpu.train import step as step_lib
+
+    cfg = config_lib.georic()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, emb_dim=40, num_heads=4, decoder_ffn_dim=64,
+        encoder_ffn_dim=64, num_layers=1, type_vocab=50,
+        use_flash_attention=True,
+    ))
+    V, E, B, T = 60, 9, 2, 7
+    params = cap.init_captioner_params(jax.random.PRNGKey(0), cfg.model, V)
+    ents = np.zeros((B, E, 5), np.float32)
+    ents[:, :, 0] = np.arange(E)
+    batch = {
+        "caption_ids": jnp.asarray(rng.integers(1, V, (B, T)).astype(np.int32)),
+        "caption_mask": jnp.zeros((B, T), jnp.int32),
+        "lengths": jnp.full((B,), T, jnp.int32),
+        "entity_features": jnp.asarray(ents),
+        "image_tokens": jnp.asarray(
+            rng.standard_normal((B, 12, 40)).astype(np.float32)
+        ),
+    }
+    optimizer = step_lib.make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    train_step, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=False
+    )
+    params, opt_state, loss, count = train_step(
+        params, opt_state, None, batch, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(loss))
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)
+    )

@@ -50,3 +50,62 @@ def test_production_shape_beam_decode_deterministic():
     )
     assert greedy_out.shape == (B, L)
     assert greedy_out.max() < V + E
+
+
+def test_flash_dropout_statistics():
+    """In-kernel PRNG attention-weight dropout: drop rate matches, survivors
+    are scaled by 1/(1-rate), output is deterministic for a fixed seed.
+
+    v is a (Tk x Hd) basis so the output reads the dropped weight matrix
+    directly: O[b,q,h,t] = dropout(P)[b,h,q,t] for t < Tk <= Hd.
+    """
+    from icek_tpu.kernels import flash_attention as fa
+
+    rng = np.random.default_rng(0)
+    B, Tq, Tk, H, Hd, rate = 4, 64, 24, 10, 30, 0.2
+    q = jnp.asarray(rng.standard_normal((B, Tq, H, Hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Tk, H, Hd)).astype(np.float32))
+    v = jnp.broadcast_to(
+        jnp.eye(Tk, Hd, dtype=jnp.float32)[None, :, None, :], (B, Tk, H, Hd)
+    )
+    seed = jnp.array([1234], jnp.int32)
+    p = np.asarray(fa.flash_mha(q, k, v))[..., :Tk]          # rate 0: raw P
+    pd = np.asarray(fa.flash_mha(q, k, v, dropout_rate=rate, seed=seed))[..., :Tk]
+    pd2 = np.asarray(fa.flash_mha(q, k, v, dropout_rate=rate, seed=seed))[..., :Tk]
+    np.testing.assert_array_equal(pd, pd2)                    # deterministic
+    assert (p > 0).all()                                      # softmax is positive
+    drop_frac = (pd == 0).mean()
+    assert abs(drop_frac - rate) < 0.01, drop_frac
+    survivors = pd != 0
+    np.testing.assert_allclose(
+        pd[survivors], (p / (1.0 - rate))[survivors], rtol=1e-5
+    )
+    # a different seed gives a different mask
+    pd3 = np.asarray(
+        fa.flash_mha(q, k, v, dropout_rate=rate, seed=jnp.array([99], jnp.int32))
+    )[..., :Tk]
+    assert (pd3 == 0).mean() > 0.1 and ((pd3 == 0) != (pd == 0)).mean() > 0.1
+
+
+def test_flash_dropout_fwd_bwd_mask_consistency():
+    """The backward kernel regenerates the forward's exact dropout mask.
+
+    The output is linear in v for a fixed mask, so <f(v), g> == <v, df/dv(g)>
+    holds exactly iff fwd and bwd saw the same mask.
+    """
+    from icek_tpu.kernels import flash_attention as fa
+
+    rng = np.random.default_rng(1)
+    B, Tq, Tk, H, Hd, rate = 2, 32, 301, 10, 30, 0.3
+    q = jnp.asarray(rng.standard_normal((B, Tq, H, Hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, Tk, H, Hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Tk, H, Hd)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, Tq, H, Hd)).astype(np.float32))
+    seed = jnp.array([7], jnp.int32)
+
+    f = lambda vv: fa.flash_mha(q, k, vv, dropout_rate=rate, seed=seed)
+    out, vjp = jax.vjp(f, v)
+    (dv,) = vjp(g)
+    lhs = float(jnp.sum(out * g))
+    rhs = float(jnp.sum(v * dv))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
