@@ -76,6 +76,27 @@ def test_meteor_invariants():
     assert good > bad == 0.0
 
 
+def test_meteor_synonym_stage():
+    # METEOR 1.5's wn-synonymy module (injected table: no WordNet corpus in
+    # this image).  "automobile" must align with "car" only when the synonym
+    # stage is active, raising the score; exact/stem matches are unaffected.
+    table = {"automobile": frozenset({"car", "auto"})}
+    syn = lambda w: table.get(w, frozenset())
+    refs = ["the red car stopped"]
+    cand = "the red automobile stopped"
+    without = meteor.meteor_sentence(refs, cand, synonyms=lambda w: frozenset())
+    with_syn = meteor.meteor_sentence(refs, cand, synonyms=syn)
+    assert with_syn > without
+    # all four words align -> same score as the exact-match sentence
+    exact = meteor.meteor_sentence(refs, "the red car stopped",
+                                   synonyms=lambda w: frozenset())
+    assert abs(with_syn - exact) < 1e-12
+    # symmetric direction: synonym knowledge on the reference-side word
+    rev = meteor.meteor_sentence(["the red automobile stopped"],
+                                 "the red car stopped", synonyms=syn)
+    assert abs(rev - exact) < 1e-12
+
+
 # -----------------------------------------------------------------------
 # JS geo metric parity
 # -----------------------------------------------------------------------
