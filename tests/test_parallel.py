@@ -111,3 +111,73 @@ def test_sharded_decode_matches_single_device():
         greedy.greedy_decode(sp, cfg.model, V, E, V - 2, V - 1, 0, ctx_s, 8)
     )
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_greedy_decode_dp_tp_mesh():
+    """Greedy decode under a combined (4,2) data+model mesh: the vocab-table
+    shardings (word embedding, vocab head, predicate table on `model`) must
+    not change a single token vs the unsharded run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from icek_tpu.decode import greedy
+
+    cfg, V, params, batch = _setup()
+    E = batch["entity_features"].shape[1]
+    ctx = greedy.prepare_decode_context(
+        params, cfg.model, jnp.asarray(batch["image_tokens"]),
+        jnp.asarray(batch["entity_features"]), jnp.asarray(batch["fact_features"]),
+    )
+    single = np.asarray(
+        greedy.greedy_decode(params, cfg.model, V, E, V - 2, V - 1, 0, ctx, 8)
+    )
+
+    mesh = mesh_lib.make_mesh(4, 2)
+    sp = mesh_lib.shard_params(params, mesh)
+    tokens = mesh_lib.shard_batch(
+        {k: batch[k] for k in ("image_tokens", "entity_features", "fact_features")},
+        mesh,
+    )
+    ctx_s = greedy.prepare_decode_context(
+        sp, cfg.model, tokens["image_tokens"],
+        tokens["entity_features"], tokens["fact_features"],
+    )
+    sharded = np.asarray(
+        greedy.greedy_decode(sp, cfg.model, V, E, V - 2, V - 1, 0, ctx_s, 8)
+    )
+    np.testing.assert_array_equal(single, sharded)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_beam_decode_matches_single_device(mesh_shape):
+    """Beam-5 decode (the flagship/bench configuration) sharded over dp and
+    dp+tp meshes must be token- and score-exact vs the single-device run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from icek_tpu.decode import beam, greedy
+
+    cfg, V, params, batch = _setup()
+    E = batch["entity_features"].shape[1]
+    ctx = greedy.prepare_decode_context(
+        params, cfg.model, jnp.asarray(batch["image_tokens"]),
+        jnp.asarray(batch["entity_features"]), jnp.asarray(batch["fact_features"]),
+    )
+    toks1, scores1 = beam.beam_decode(
+        params, cfg.model, V, E, V - 2, V - 1, 0, ctx, 8, beam_size=5
+    )
+    toks1, scores1 = np.asarray(toks1), np.asarray(scores1)
+
+    mesh = mesh_lib.make_mesh(*mesh_shape)
+    sp = mesh_lib.shard_params(params, mesh)
+    tokens = mesh_lib.shard_batch(
+        {k: batch[k] for k in ("image_tokens", "entity_features", "fact_features")},
+        mesh,
+    )
+    ctx_s = greedy.prepare_decode_context(
+        sp, cfg.model, tokens["image_tokens"],
+        tokens["entity_features"], tokens["fact_features"],
+    )
+    toks2, scores2 = beam.beam_decode(
+        sp, cfg.model, V, E, V - 2, V - 1, 0, ctx_s, 8, beam_size=5
+    )
+    np.testing.assert_array_equal(toks1, np.asarray(toks2))
+    np.testing.assert_allclose(scores1, np.asarray(scores2), rtol=1e-5)
