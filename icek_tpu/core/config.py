@@ -82,6 +82,10 @@ class DataConfig:
     # wordmap rule deltas (reference: news create_input_files.py:375-387)
     split_tokens_on_underscore: bool = False
     fold_entity_names_into_wordmap: bool = False
+    # Stream batches from a chunked HDF5 sidecar store instead of loading
+    # the JSON/pkl sidecars into host RAM (data/streaming.py) — for
+    # NYTimes800k-scale datasets.  Image tokens cache to disk, not RAM.
+    streaming: bool = False
 
     @property
     def num_entity_rows(self) -> int:
@@ -105,6 +109,12 @@ class TrainConfig:
     lr_decay_every: int = 8          # decay when stale epochs % 8 == 0
     lr_decay_factor: float = 0.8
     fine_tune_encoder: bool = False
+    # Opt-in reproduction of the reference's frozen-encoder side effect:
+    # encoder.train() is called even when the encoder is frozen
+    # (geo-aware/train.py:245), so batch-norm normalizes by batch stats and
+    # updates the running buffers every step.  Off by default (the TPU-first
+    # default caches frozen-encoder tokens once per split instead).
+    bn_train_mode: bool = False
     print_freq: int = 100
     seed: int = 0
     # TPU-native additions

@@ -75,13 +75,13 @@ class CaptionDataset:
 
     def image_batch(self, idx: np.ndarray) -> np.ndarray:
         """Model-ready normalized NHWC images for the given indices."""
-        # h5py requires sorted unique indices for fancy indexing
-        order = np.argsort(idx, kind="stable")
-        sorted_idx = idx[order]
-        raw = self._images[sorted_idx.tolist()]
-        out = np.empty_like(raw)
-        out[order] = raw
-        return image_ops.normalize_for_model(out)
+        # h5py fancy indexing requires strictly increasing indices; batches
+        # may repeat rows (eval pads partial batches with the last index)
+        uniq, inverse = np.unique(np.asarray(idx), return_inverse=True)
+        raw = self._images[uniq.tolist()] if len(uniq) > 1 else (
+            self._images[int(uniq[0])][None]
+        )
+        return image_ops.normalize_for_model(raw[inverse])
 
     def cache_image_tokens(self, encode_fn, batch_size: int = 32):
         """Run the frozen encoder over the whole split once; afterwards
@@ -91,6 +91,12 @@ class CaptionDataset:
             idx = np.arange(start, min(start + batch_size, len(self)))
             chunks.append(np.asarray(encode_fn(self.image_batch(idx))))
         self.image_tokens = np.concatenate(chunks, axis=0)
+
+    def index_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                      pad_partial: bool = True) -> Iterator[np.ndarray]:
+        """Epoch index batches (uniform shuffle; the streaming dataset
+        overrides this with a chunk-local shuffle)."""
+        return batch_indices(len(self), batch_size, shuffle, seed, pad_partial)
 
     def batch(self, idx: np.ndarray, with_images: bool = True) -> Dict[str, np.ndarray]:
         a = self.arrays

@@ -1,0 +1,244 @@
+"""Streaming loader for very-large datasets (NYTimes800k scale).
+
+The reference protocol keeps a split's caption/context sidecars in JSON/pkl
+(geo-aware/create_input_files.py:89-130), which forces full host-RAM
+materialization; at ~800k images (news-knowledge-aware/README.md:6) the
+news preset's entity/fact context arrays alone are several GB.  This module
+keeps the steady-state training/eval memory constant in dataset size:
+
+  * ``write_sidecar_store`` — one-time conversion of a split's sidecars
+    into a single chunked HDF5 store (``{SPLIT}_SIDECAR_{base}.h5``);
+  * ``StreamingCaptionDataset`` — drop-in ``CaptionDataset`` replacement
+    whose batches are read from disk per step: images from the protocol
+    HDF5, sidecars from the store, and (optionally) frozen-encoder image
+    tokens from a disk-backed cache written once per split
+    (``{SPLIT}_TOKENS_{base}.h5``) instead of host RAM;
+  * ``block_shuffled_indices`` — epoch shuffling with HDF5-chunk-friendly
+    locality (shuffle blocks, then shuffle within a window of blocks).
+
+The host->device overlap still comes from ``dataset.prefetch`` (depth-2
+thread, double-buffered device puts) exactly as in the in-memory path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from icek_tpu.data import images as image_ops
+
+_SIDE_KINDS = (
+    ("caption_ids", "CAPTIONS", "json", np.int32),
+    ("lengths", "CAPLENS", "json", np.int32),
+    ("caption_mask", "CAPMASKS", "json", np.int32),
+    ("entity_features", "ENT_FEATURES", "pkl", np.float32),
+    ("entity_names", "ENT_NAMES", "pkl", np.int32),
+    ("fact_features", "FACTS", "pkl", np.float32),
+    ("fact_names", "FACT_NAMES", "pkl", np.int32),
+)
+
+
+def sidecar_store_path(data_dir: str, base_name: str, split: str) -> str:
+    return os.path.join(data_dir, f"{split}_SIDECAR_{base_name}.h5")
+
+
+def token_cache_path(data_dir: str, base_name: str, split: str) -> str:
+    return os.path.join(data_dir, f"{split}_TOKENS_{base_name}.h5")
+
+
+def write_sidecar_store(
+    data_dir: str, base_name: str, split: str, has_facts: bool,
+    chunk_rows: int = 1024,
+) -> str:
+    """Convert one split's protocol sidecars into the chunked HDF5 store.
+
+    One-time conversion (run it at prep time right after
+    ``InputConstructor.run``): the JSON/pkl sources are parsed once here so
+    training/eval never have to again.
+    """
+    import h5py
+
+    path = sidecar_store_path(data_dir, base_name, split)
+    with h5py.File(path, "w") as h:
+        for name, kind, fmt, dtype in _SIDE_KINDS:
+            if name.startswith("fact_") and not has_facts:
+                continue
+            src = os.path.join(data_dir, f"{split}_{kind}_{base_name}.{fmt}")
+            if fmt == "json":
+                with open(src) as f:
+                    arr = np.asarray(json.load(f), dtype=dtype)
+            else:
+                with open(src, "rb") as f:
+                    arr = np.asarray(pickle.load(f), dtype=dtype)
+            chunks = (min(chunk_rows, max(len(arr), 1)),) + arr.shape[1:]
+            h.create_dataset(name, data=arr, chunks=chunks)
+    return path
+
+
+class _StoreArrays:
+    """CaptionArrays-compatible view over the HDF5 store: every attribute
+    is an h5py dataset (row-indexable like the ndarray it replaces), never
+    a full in-memory copy."""
+
+    def __init__(self, h5file, has_facts: bool):
+        self.caption_ids = h5file["caption_ids"]
+        self.lengths = h5file["lengths"]
+        self.caption_mask = h5file["caption_mask"]
+        self.entity_features = h5file["entity_features"]
+        self.entity_names = h5file["entity_names"]
+        self.fact_features = h5file["fact_features"] if has_facts else None
+        self.fact_names = h5file["fact_names"] if has_facts else None
+        self.size = len(self.caption_ids)
+
+
+def _gather_rows(dset, idx: np.ndarray) -> np.ndarray:
+    """Fancy-index an h5py dataset with unsorted/duplicated indices."""
+    uniq, inverse = np.unique(idx, return_inverse=True)
+    rows = dset[uniq.tolist()] if len(uniq) > 1 else dset[int(uniq[0])][None]
+    return rows[inverse]
+
+
+class StreamingCaptionDataset:
+    """One split, disk-backed: same interface as ``dataset.CaptionDataset``
+    (len / batch / image_batch / cache_image_tokens / .arrays) with
+    constant host memory in the dataset size."""
+
+    def __init__(self, data_dir: str, base_name: str, split: str,
+                 has_facts: bool = False, convert_if_missing: bool = True):
+        import h5py
+
+        self.split = split
+        self._data_dir = data_dir
+        self._base_name = base_name
+        store = sidecar_store_path(data_dir, base_name, split)
+        if not os.path.exists(store):
+            if not convert_if_missing:
+                raise FileNotFoundError(store)
+            write_sidecar_store(data_dir, base_name, split, has_facts)
+        self._store = h5py.File(store, "r")
+        self.arrays = _StoreArrays(self._store, has_facts)
+        self._h5 = h5py.File(
+            os.path.join(data_dir, f"{split}_IMAGES_{base_name}.hdf5"), "r"
+        )
+        self._images = self._h5["images"]
+        self._tokens = None  # h5py dataset once cache_image_tokens ran
+        tokens = token_cache_path(data_dir, base_name, split)
+        if os.path.exists(tokens):
+            self._token_file = h5py.File(tokens, "r")
+            self._tokens = self._token_file["image_tokens"]
+
+    def __len__(self):
+        return self.arrays.size
+
+    @property
+    def image_tokens(self):
+        return self._tokens
+
+    def image_batch(self, idx: np.ndarray) -> np.ndarray:
+        raw = _gather_rows(self._images, np.asarray(idx))
+        return image_ops.normalize_for_model(raw)
+
+    def cache_image_tokens(self, encode_fn, batch_size: int = 32,
+                           dtype=np.float32):
+        """Run the frozen encoder over the split once, writing the 196-token
+        features to a disk-backed chunked cache (NOT host RAM — at 800k
+        images the tokens alone exceed any host)."""
+        import h5py
+
+        path = token_cache_path(self._data_dir, self._base_name, self.split)
+        probe = np.asarray(encode_fn(self.image_batch(np.arange(1))))
+        with h5py.File(path, "w") as h:
+            dset = h.create_dataset(
+                "image_tokens", (len(self),) + probe.shape[1:], dtype=dtype,
+                chunks=(min(batch_size, len(self)),) + probe.shape[1:],
+            )
+            dset[0] = probe[0]
+            for start in range(1, len(self), batch_size):
+                idx = np.arange(start, min(start + batch_size, len(self)))
+                dset[start : start + len(idx)] = np.asarray(
+                    encode_fn(self.image_batch(idx))
+                )
+        self._token_file = h5py.File(path, "r")
+        self._tokens = self._token_file["image_tokens"]
+
+    def index_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                      pad_partial: bool = True) -> Iterator[np.ndarray]:
+        return block_shuffled_indices(
+            len(self), batch_size, shuffle, seed, pad_partial
+        )
+
+    def batch(self, idx: np.ndarray, with_images: bool = True) -> Dict[str, np.ndarray]:
+        a = self.arrays
+        idx = np.asarray(idx)
+        pad = idx < 0                              # -1 marks padding rows
+        safe = np.where(pad, 0, idx)
+        out = {
+            "caption_ids": _gather_rows(a.caption_ids, safe),
+            "caption_mask": _gather_rows(a.caption_mask, safe),
+            "lengths": np.where(pad, 0, _gather_rows(a.lengths, safe)),
+            "entity_features": _gather_rows(a.entity_features, safe),
+        }
+        if a.fact_features is not None:
+            out["fact_features"] = _gather_rows(a.fact_features, safe)
+        if with_images:
+            if self._tokens is not None:
+                out["image_tokens"] = _gather_rows(self._tokens, safe).astype(
+                    np.float32
+                )
+            else:
+                out["images"] = self.image_batch(safe)
+        return out
+
+
+def block_shuffled_indices(
+    n: int, batch_size: int, shuffle: bool, seed: int = 0,
+    pad_partial: bool = True, block: int = 1024, window_blocks: int = 16,
+) -> Iterator[np.ndarray]:
+    """Epoch index batches with HDF5-friendly locality.
+
+    Full-uniform shuffling of an 800k-row chunked store degenerates into
+    one-chunk-per-row reads.  Instead: partition [0, n) into contiguous
+    blocks, shuffle the block order, then shuffle rows within a sliding
+    window of ``window_blocks`` blocks.  Every index appears exactly once
+    per epoch; randomness spans ``block * window_blocks`` rows while disk
+    reads stay within ~``window_blocks`` distinct chunk neighborhoods per
+    batch."""
+    if not shuffle:
+        for start in range(0, n, batch_size):
+            idx = np.arange(start, min(start + batch_size, n))
+            if len(idx) < batch_size:
+                if not pad_partial:
+                    return
+                idx = np.concatenate([idx, np.full(batch_size - len(idx), -1)])
+            yield idx
+        return
+
+    rng = np.random.default_rng(seed)
+    n_blocks = -(-n // block)
+    block_order = rng.permutation(n_blocks)
+    leftover = np.empty((0,), dtype=np.int64)
+    for w_start in range(0, n_blocks, window_blocks):
+        window = block_order[w_start : w_start + window_blocks]
+        rows = np.concatenate(
+            [np.arange(b * block, min((b + 1) * block, n)) for b in window]
+            + [leftover]
+        )
+        rng.shuffle(rows)
+        n_full = (len(rows) // batch_size) * batch_size
+        for start in range(0, n_full, batch_size):
+            yield rows[start : start + batch_size]
+        leftover = rows[n_full:]
+    if len(leftover):
+        if pad_partial:
+            yield np.concatenate(
+                [leftover, np.full(batch_size - len(leftover), -1)]
+            )
+        else:
+            for start in range(0, len(leftover), batch_size):
+                chunk = leftover[start : start + batch_size]
+                if len(chunk) == batch_size:
+                    yield chunk

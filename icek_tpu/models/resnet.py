@@ -132,16 +132,19 @@ def init_bottleneck(key, cin, width, stride, with_downsample):
     return block
 
 
-def bottleneck(block, x, stride=1, train=False, compute_dtype=jnp.float32):
-    out, _ = batch_norm(block["bn1"], conv(x, block["conv1"], 1, compute_dtype), train)
-    out = jax.nn.relu(out)
-    out, _ = batch_norm(block["bn2"], conv(out, block["conv2"], stride, compute_dtype), train)
-    out = jax.nn.relu(out)
-    out, _ = batch_norm(block["bn3"], conv(out, block["conv3"], 1, compute_dtype), train)
+def bottleneck(block, x, stride=1, train=False, compute_dtype=jnp.float32,
+               stats_out=None):
+    def bn(name, y):
+        out, new = batch_norm(block[name], y, train)
+        if stats_out is not None and new is not None:
+            stats_out[name] = new
+        return out
+
+    out = jax.nn.relu(bn("bn1", conv(x, block["conv1"], 1, compute_dtype)))
+    out = jax.nn.relu(bn("bn2", conv(out, block["conv2"], stride, compute_dtype)))
+    out = bn("bn3", conv(out, block["conv3"], 1, compute_dtype))
     if "down_conv" in block:
-        shortcut, _ = batch_norm(
-            block["down_bn"], conv(x, block["down_conv"], stride, compute_dtype), train
-        )
+        shortcut = bn("down_bn", conv(x, block["down_conv"], stride, compute_dtype))
     else:
         shortcut = x.astype(out.dtype)
     return jax.nn.relu(out + shortcut)
@@ -180,23 +183,65 @@ def resnet_encode(
     encoded_size: int = 14,
     train: bool = False,
     compute_dtype=jnp.float32,
+    return_stats: bool = False,
 ):
     """images -> (B, encoded_size**2, emb_dim) tokens, h-major order
-    (matching the reference's view(B, D, -1) flatten, geo models.py:46)."""
+    (matching the reference's view(B, D, -1) flatten, geo models.py:46).
+
+    With ``train=True`` batch-norm normalizes by batch statistics — the
+    reference's train() semantics even for the frozen encoder
+    (geo-aware/train.py:245 never exempts the encoder).  With
+    ``return_stats=True`` additionally returns the params tree with the
+    momentum-updated BN running statistics merged in (torch's train-mode
+    side effect on the running buffers).
+    """
+    stats = {} if (return_stats and train) else None
     x = conv(images, params["conv1"], 2, compute_dtype)
-    x, _ = batch_norm(params["bn1"], x, train)
+    x, new = batch_norm(params["bn1"], x, train)
+    if stats is not None and new is not None:
+        stats["bn1"] = new
     x = jax.nn.relu(x)
     x = max_pool_3x3_s2(x)
     for stage in range(1, 5):
+        stage_stats = [] if stats is not None else None
         for b, block in enumerate(params[f"layer{stage}"]):
             stride = 2 if (stage > 1 and b == 0) else 1
-            x = bottleneck(block, x, stride, train, compute_dtype)
+            block_stats = {} if stats is not None else None
+            x = bottleneck(block, x, stride, train, compute_dtype,
+                           stats_out=block_stats)
+            if stage_stats is not None:
+                stage_stats.append(block_stats)
+        if stats is not None:
+            stats[f"layer{stage}"] = stage_stats
     x = adaptive_avg_pool(x, (encoded_size, encoded_size))
     x = conv(x, params["proj"]["w"], 1, compute_dtype) + params["proj"]["b"].astype(
         compute_dtype
     )
     B, H, W, D = x.shape
-    return x.reshape(B, H * W, D)
+    tokens = x.reshape(B, H * W, D)
+    if return_stats:
+        return tokens, merge_bn_stats(params, stats or {})
+    return tokens
+
+
+def merge_bn_stats(params, stats):
+    """Params tree with updated BN running stats (from resnet_encode
+    train-mode collection) merged over the originals; weights untouched."""
+    out = dict(params)
+    if "bn1" in stats:
+        out["bn1"] = {**params["bn1"], **stats["bn1"]}
+    for stage in range(1, 5):
+        name = f"layer{stage}"
+        if name not in stats:
+            continue
+        blocks = []
+        for block, block_stats in zip(params[name], stats[name]):
+            nb = dict(block)
+            for bn_name, new in block_stats.items():
+                nb[bn_name] = {**block[bn_name], **new}
+            blocks.append(nb)
+        out[name] = blocks
+    return out
 
 
 # --------------------------------------------------------------------------

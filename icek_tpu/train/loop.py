@@ -56,12 +56,13 @@ def run_epoch(
     train_step, params, opt_state, encoder_params, data: ds.CaptionDataset,
     batch_size: int, rng_key, epoch: int, print_freq: int = 100,
     log: Callable[[str], None] = print, enc_opt_state=None,
+    bn_train_mode: bool = False,
 ):
     batch_time, data_time, losses = Meter(), Meter(), Meter()
     start = time.time()
     n_batches = -(-len(data) // batch_size)
     batches = ds.prefetch(
-        ds.batch_indices(len(data), batch_size, shuffle=True, seed=epoch),
+        data.index_batches(batch_size, shuffle=True, seed=epoch),
         lambda idx: data.batch(idx),
     )
     fine_tune = enc_opt_state is not None
@@ -72,6 +73,10 @@ def run_epoch(
             (params, opt_state, encoder_params, enc_opt_state, loss,
              count) = train_step(
                 params, opt_state, encoder_params, enc_opt_state, batch, step_rng
+            )
+        elif bn_train_mode:
+            params, opt_state, encoder_params, loss, count = train_step(
+                params, opt_state, encoder_params, batch, step_rng
             )
         else:
             params, opt_state, loss, count = train_step(
@@ -98,7 +103,7 @@ def run_validation(
     losses = Meter()
     n_batches = -(-len(data) // batch_size)
     batches = ds.prefetch(
-        ds.batch_indices(len(data), batch_size, shuffle=False),
+        data.index_batches(batch_size, shuffle=False),
         lambda idx: data.batch(idx),
     )
     for i, batch in enumerate(batches):
@@ -123,8 +128,18 @@ def train(
     """Full training run for one preset; returns the best params."""
     tc = cfg.train
     has_facts = cfg.model.has_facts
-    train_data = ds.CaptionDataset(data_dir, cfg.data.base_name, "TRAIN", has_facts)
-    val_data = ds.CaptionDataset(data_dir, cfg.data.base_name, "VAL", has_facts)
+    if cfg.data.streaming:
+        from icek_tpu.data import streaming
+
+        train_data = streaming.StreamingCaptionDataset(
+            data_dir, cfg.data.base_name, "TRAIN", has_facts
+        )
+        val_data = streaming.StreamingCaptionDataset(
+            data_dir, cfg.data.base_name, "VAL", has_facts
+        )
+    else:
+        train_data = ds.CaptionDataset(data_dir, cfg.data.base_name, "TRAIN", has_facts)
+        val_data = ds.CaptionDataset(data_dir, cfg.data.base_name, "VAL", has_facts)
 
     key = jax.random.PRNGKey(tc.seed)
     k_model, k_enc, k_train = jax.random.split(key, 3)
@@ -151,12 +166,15 @@ def train(
     # Cache frozen-encoder image tokens once per split.
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     encoder_optimizer = enc_opt_state = None
+    encode_images = tc.fine_tune_encoder or tc.bn_train_mode
     if tc.fine_tune_encoder:
         encoder_optimizer = step_lib.make_encoder_optimizer(
             encoder_params, tc.encoder_lr, tc.grad_clip
         )
         enc_opt_state = encoder_optimizer.init(encoder_params)
-    else:
+    elif not tc.bn_train_mode:
+        # bn_train_mode mutates the BN stats every step, so token caching is
+        # only valid when the frozen encoder is truly stateless.
         encode = jax.jit(
             lambda imgs: resnet.resnet_encode(
                 encoder_params, imgs, cfg.model.encoded_image_size,
@@ -169,8 +187,9 @@ def train(
     train_step, eval_step = step_lib.make_train_step(
         cfg, vocab_size, pad_id, optimizer,
         compute_dtype=compute_dtype,
-        encode_images=tc.fine_tune_encoder,
+        encode_images=encode_images,
         encoder_optimizer=encoder_optimizer,
+        bn_train_mode=tc.bn_train_mode,
     )
 
     metric_log = profiling.MetricLogger(
@@ -199,6 +218,7 @@ def train(
                 train_step, params, opt_state, encoder_params, train_data,
                 tc.batch_size, jax.random.fold_in(k_train, epoch), epoch,
                 tc.print_freq, log, enc_opt_state=enc_opt_state,
+                bn_train_mode=tc.bn_train_mode and not tc.fine_tune_encoder,
             )
         val_loss = run_validation(
             eval_step, params, encoder_params, val_data, tc.batch_size,

@@ -111,6 +111,7 @@ def make_train_step(
     compute_dtype=jnp.float32,
     encode_images: bool = True,
     encoder_optimizer=None,
+    bn_train_mode: bool = False,
 ):
     """Build the jitted train step.
 
@@ -120,20 +121,37 @@ def make_train_step(
     updates the encoder (reference train.py:52,92-100).
     With `encoder_optimizer` set (fine-tuning), gradients flow into the
     unfrozen encoder subset and the step also returns updated encoder state.
+    With `bn_train_mode` (opt-in), the encoder's batch-norms run in train
+    mode during the step — normalizing by batch statistics and updating the
+    running buffers — reproducing the reference's frozen-encoder side effect
+    (geo-aware/train.py:245 calls encoder.train() even when it is frozen).
+    The step then additionally returns the updated encoder params:
+    non-fine-tune steps return (params, opt_state, encoder_params, loss,
+    count) instead of (params, opt_state, loss, count).
     """
     mcfg = cfg.model
     fine_tune = encoder_optimizer is not None
+    if bn_train_mode and not encode_images:
+        raise ValueError("bn_train_mode requires encode_images=True")
 
     def image_tokens(encoder_params, batch):
         if not encode_images:
-            return batch["image_tokens"]
+            return batch["image_tokens"], None
+        if bn_train_mode:
+            tokens, new_enc = resnet.resnet_encode(
+                encoder_params, batch["images"], mcfg.encoded_image_size,
+                train=True, compute_dtype=compute_dtype, return_stats=True,
+            )
+            # the running-stat side effect is not a gradient path
+            new_enc = jax.lax.stop_gradient(new_enc)
+            return tokens, new_enc
         return resnet.resnet_encode(
             encoder_params, batch["images"], mcfg.encoded_image_size,
             train=False, compute_dtype=compute_dtype,
-        )
+        ), None
 
     def loss_fn(params, encoder_params, batch, rng):
-        tokens = image_tokens(encoder_params, batch)
+        tokens, new_enc = image_tokens(encoder_params, batch)
         if not fine_tune:
             tokens = jax.lax.stop_gradient(tokens)
         scores = cap.captioner_forward(
@@ -142,14 +160,26 @@ def make_train_step(
             batch["entity_features"], batch.get("fact_features"),
             rng=rng, deterministic=False, compute_dtype=compute_dtype,
         )
-        return caption_loss(scores, batch["caption_ids"], batch["lengths"], pad_id)
+        loss, count = caption_loss(
+            scores, batch["caption_ids"], batch["lengths"], pad_id
+        )
+        return loss, (count, new_enc)
+
+    def merge_stats(encoder_params, new_enc):
+        """Overwrite only the BN mean/var leaves with the train-mode stats."""
+        return jax.tree_util.tree_map_with_path(
+            lambda path, old, new: new
+            if any(getattr(p, "key", None) in ("mean", "var") for p in path)
+            else old,
+            encoder_params, new_enc,
+        )
 
     if fine_tune:
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def train_step_ft(params, opt_state, encoder_params, enc_opt_state,
                           batch, rng):
-            (loss, count), (grads, enc_grads) = jax.value_and_grad(
+            (loss, (count, new_enc)), (grads, enc_grads) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(params, encoder_params, batch, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -158,23 +188,47 @@ def make_train_step(
                 enc_grads, enc_opt_state, encoder_params
             )
             encoder_params = optax.apply_updates(encoder_params, enc_updates)
+            if new_enc is not None:
+                encoder_params = merge_stats(encoder_params, new_enc)
             return params, opt_state, encoder_params, enc_opt_state, loss, count
 
         train_step = train_step_ft
+    elif bn_train_mode:
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step_bn(params, opt_state, encoder_params, batch, rng):
+            (loss, (count, new_enc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, encoder_params, batch, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            encoder_params = merge_stats(encoder_params, new_enc)
+            return params, opt_state, encoder_params, loss, count
+
+        train_step = train_step_bn
     else:
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, encoder_params, batch, rng):
-            (loss, count), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, encoder_params, batch, rng
-            )
+            (loss, (count, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, encoder_params, batch, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, count
 
     @jax.jit
     def eval_step(params, encoder_params, batch):
-        tokens = image_tokens(encoder_params, batch)
+        # validation always uses inference-mode BN over the (updated) running
+        # stats — the reference's validate() calls encoder.eval()
+        # (geo-aware/train.py:328-330) regardless of bn_train_mode.
+        if not encode_images:
+            tokens = batch["image_tokens"]
+        else:
+            tokens = resnet.resnet_encode(
+                encoder_params, batch["images"], mcfg.encoded_image_size,
+                train=False, compute_dtype=compute_dtype,
+            )
         scores = cap.captioner_forward(
             params, mcfg, vocab_size, pad_id,
             batch["caption_ids"], batch["caption_mask"], tokens,

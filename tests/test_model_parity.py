@@ -276,6 +276,71 @@ def test_resnet_primitives_match_torch(rng):
     np.testing.assert_allclose(np.asarray(j), want, atol=1e-4)
 
 
+def test_bn_train_mode_matches_torch(rng):
+    """Train-mode batch-norm (the reference's frozen-encoder side effect,
+    geo-aware/train.py:245): outputs normalize by batch stats and the
+    running buffers take the momentum update, both matching torch."""
+    from icek_tpu.models import resnet as rn
+
+    torch_seed(7)
+    block = TorchBottleneck(8, 4, 2, downsample=True).train()
+    for bn_mod in [block.bn1, block.bn2, block.bn3, block.downsample[1]]:
+        bn_mod.running_mean.normal_()
+        bn_mod.running_var.uniform_(0.5, 2.0)
+
+    x = rng.standard_normal((4, 17, 17, 8)).astype(np.float32)
+
+    def t_conv(mod):
+        return jnp.asarray(mod.weight.detach().numpy().transpose(2, 3, 1, 0))
+
+    def t_bn(mod):
+        return {
+            "scale": jnp.asarray(mod.weight.detach().numpy()),
+            "bias": jnp.asarray(mod.bias.detach().numpy()),
+            "mean": jnp.asarray(mod.running_mean.numpy()),
+            "var": jnp.asarray(mod.running_var.numpy()),
+        }
+
+    block_params = {
+        "conv1": t_conv(block.conv1), "bn1": t_bn(block.bn1),
+        "conv2": t_conv(block.conv2), "bn2": t_bn(block.bn2),
+        "conv3": t_conv(block.conv3), "bn3": t_bn(block.bn3),
+        "down_conv": t_conv(block.downsample[0]),
+        "down_bn": t_bn(block.downsample[1]),
+    }
+    stats = {}
+    j = rn.bottleneck(block_params, jnp.asarray(x), stride=2, train=True,
+                      stats_out=stats)
+
+    with torch.no_grad():
+        t = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        want = block(t).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(j), want, atol=1e-4)
+    # torch mutated its running buffers in that forward; ours must match.
+    for name, mod in [("bn1", block.bn1), ("bn2", block.bn2),
+                      ("bn3", block.bn3), ("down_bn", block.downsample[1])]:
+        np.testing.assert_allclose(
+            np.asarray(stats[name]["mean"]), mod.running_mean.numpy(), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats[name]["var"]), mod.running_var.numpy(), atol=1e-5
+        )
+    # merge_bn_stats writes stats (and only stats) back into the tree
+    merged_layer = rn.merge_bn_stats(
+        {"bn1": t_bn(block.bn1), "layer1": [block_params], "layer2": [],
+         "layer3": [], "layer4": []},
+        {"layer1": [stats]},
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged_layer["layer1"][0]["bn2"]["mean"]),
+        block.bn2.running_mean.numpy(), atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged_layer["layer1"][0]["conv1"]),
+        np.asarray(block_params["conv1"]),
+    )
+
+
 def build_torch_resnet101_body():
     """torchvision-resnet101-shaped Sequential matching the reference
     Encoder's `resnet.<idx>` naming (geo models.py:24-27)."""

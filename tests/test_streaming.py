@@ -1,0 +1,128 @@
+"""Streaming input pipeline (data/streaming.py): sidecar-store conversion,
+batch parity with the in-memory loader, constant-memory structure,
+chunk-local shuffling, disk-backed token cache, and train+eval end-to-end
+from the store."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+h5py = pytest.importorskip("h5py")
+
+from icek_tpu.core import config as config_lib
+from icek_tpu.data import dataset as ds
+from icek_tpu.data import input_files, streaming
+from icek_tpu.train import loop as train_loop
+
+from test_train_e2e import make_raw_dataset, tiny_cfg  # noqa: E402 (tests dir on sys.path via pytest rootdir insertion)
+
+
+@pytest.fixture
+def prepped(tmp_path):
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    writer = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    )
+    wm = writer.run()
+    return cfg, str(out_dir), wm
+
+
+def test_streaming_batches_match_in_memory_loader(prepped):
+    cfg, out_dir, _ = prepped
+    mem = ds.CaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    assert len(stream) == len(mem)
+    # constant-memory structure: sidecars stay h5py datasets, never ndarrays
+    for name in ("caption_ids", "lengths", "caption_mask",
+                 "entity_features", "entity_names"):
+        assert isinstance(getattr(stream.arrays, name), h5py.Dataset), name
+    # unsorted indices with duplicates and -1 padding rows
+    idx = np.array([3, 0, 3, 5, -1, -1])
+    got = stream.batch(idx)
+    want = mem.batch(idx)
+    assert set(got) == set(want)
+    for key in want:
+        np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+    # per-row access used by the eval driver
+    np.testing.assert_array_equal(
+        stream.arrays.entity_names[2], mem.arrays.entity_names[2]
+    )
+
+
+def test_streaming_token_cache_on_disk(prepped):
+    cfg, out_dir, _ = prepped
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    calls = []
+
+    def fake_encode(imgs):
+        calls.append(len(imgs))
+        return np.full((len(imgs), 4, 6), 0.5, np.float32) * np.arange(
+            len(imgs)
+        ).reshape(-1, 1, 1)
+
+    stream.cache_image_tokens(fake_encode, batch_size=4)
+    assert isinstance(stream.image_tokens, h5py.Dataset)  # disk, not RAM
+    batch = stream.batch(np.array([0, 2]))
+    assert "image_tokens" in batch and "images" not in batch
+    assert batch["image_tokens"].shape == (2, 4, 6)
+    # a fresh dataset picks the cache up from disk
+    again = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    assert again.image_tokens is not None
+    np.testing.assert_array_equal(
+        np.asarray(again.image_tokens[2]), batch["image_tokens"][1]
+    )
+
+
+@pytest.mark.parametrize("n,batch_size,block,window", [
+    (100, 8, 16, 2), (37, 5, 8, 3), (64, 8, 64, 1),
+])
+def test_block_shuffled_indices_exact_cover(n, batch_size, block, window):
+    batches = list(streaming.block_shuffled_indices(
+        n, batch_size, shuffle=True, seed=3, block=block, window_blocks=window
+    ))
+    flat = np.concatenate(batches)
+    real = flat[flat >= 0]
+    assert sorted(real.tolist()) == list(range(n))     # exactly once each
+    assert all(len(b) == batch_size for b in batches)  # static shapes
+    assert (flat < 0).sum() == len(batches) * batch_size - n
+    # determinism
+    again = list(streaming.block_shuffled_indices(
+        n, batch_size, shuffle=True, seed=3, block=block, window_blocks=window
+    ))
+    for a, b in zip(batches, again):
+        np.testing.assert_array_equal(a, b)
+    # shuffle actually shuffles (for n large enough to matter)
+    if n > 2 * batch_size:
+        ordered = np.arange(len(real))
+        assert not np.array_equal(real, ordered)
+
+
+def test_streaming_train_and_eval_end_to_end(prepped, tmp_path):
+    from icek_tpu import eval_driver
+
+    cfg, out_dir, wm = prepped
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, streaming=True),
+    )
+    result = train_loop.train(
+        cfg, out_dir, len(wm), wm.pad_id,
+        checkpoint_dir=str(tmp_path / "ckpts"), max_epochs=1,
+        log=lambda s: None,
+    )
+    assert np.isfinite(result.best_loss)
+
+    test_data = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TEST")
+    out_csv = tmp_path / "generated_captions.csv"
+    evaluator = eval_driver.Evaluator(
+        cfg, wm, result.params, result.encoder_params, batch_size=2,
+        beam_size=1,
+    )
+    results = evaluator.run(test_data, output_csv=str(out_csv),
+                            log=lambda s: None)
+    assert out_csv.exists()
+    assert len(results["captions"]) == len(test_data)

@@ -408,6 +408,72 @@ def test_fine_tune_encoder_updates_unfrozen_subset(tmp_path):
     assert changed(before["proj"]["w"], after["proj"]["w"])
 
 
+def test_bn_train_mode_step_updates_running_stats():
+    """Opt-in bn_train_mode: the frozen-encoder train step normalizes by
+    batch stats and returns encoder params whose BN running buffers took the
+    momentum update, while every encoder weight stays frozen (the reference's
+    encoder.train() side effect, geo-aware/train.py:245)."""
+    from icek_tpu.models import captioner, resnet
+    from icek_tpu.train import step as step_lib
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0
+        ),
+    )
+    V, E, B = 20, 5, 4
+    rng = np.random.default_rng(3)
+    key = jax.random.PRNGKey(0)
+    params = captioner.init_captioner_params(key, cfg.model, V)
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+    before = jax.tree.map(np.asarray, encoder_params)
+
+    optimizer = step_lib.make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    train_step, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=True, bn_train_mode=True,
+    )
+    ents = np.zeros((B, E, 5), dtype=np.float32)
+    ents[:, :, 0] = np.arange(E)
+    images = rng.standard_normal((B, 32, 32, 3)).astype(np.float32)
+    batch = {
+        "caption_ids": rng.integers(1, V, (B, 8)).astype(np.int32),
+        "caption_mask": np.zeros((B, 8), dtype=np.int32),
+        "lengths": np.full((B,), 8, dtype=np.int32),
+        "entity_features": ents,
+        "images": images,
+    }
+    params, opt_state, encoder_params, loss, _ = train_step(
+        params, opt_state, encoder_params, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(loss))
+    after = jax.tree.map(np.asarray, encoder_params)
+
+    # stats moved; torch-oracle expected value for the stem BN
+    x = np.asarray(
+        resnet.conv(jnp.asarray(images), jnp.asarray(before["conv1"]), 2)
+    ).astype(np.float64)
+    batch_mean = x.mean(axis=(0, 1, 2))
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    unbiased = x.var(axis=(0, 1, 2)) * n / (n - 1)
+    np.testing.assert_allclose(
+        after["bn1"]["mean"], 0.9 * before["bn1"]["mean"] + 0.1 * batch_mean,
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        after["bn1"]["var"], 0.9 * before["bn1"]["var"] + 0.1 * unbiased,
+        rtol=1e-4,
+    )
+    assert not np.allclose(before["layer4"][0]["bn1"]["mean"],
+                           after["layer4"][0]["bn1"]["mean"])
+    # weights frozen
+    np.testing.assert_array_equal(before["conv1"], after["conv1"])
+    np.testing.assert_array_equal(before["layer2"][0]["conv1"],
+                                  after["layer2"][0]["conv1"])
+    np.testing.assert_array_equal(before["proj"]["w"], after["proj"]["w"])
+
+
 def test_news_end_to_end(tmp_path):
     """News preset slice: article-entity contexts with packed name word ids
     -> input files -> train -> batched eval with the generated-mask CSV."""
