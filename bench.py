@@ -42,6 +42,12 @@ BEAM = int(os.environ.get("BENCH_BEAM", "5"))
 VOCAB = 10000
 MAX_LEN = 30
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+# decoder-step megakernel A/B: "1"/"0" forces, unset = beam_decode default
+_MEGA = os.environ.get("BENCH_MEGAKERNEL")
+MEGAKERNEL = None if _MEGA is None else _MEGA == "1"
+# fused score/top-k kernel A/B
+_FUSED = os.environ.get("BENCH_FUSED_SCORES")
+FUSED_SCORES = None if _FUSED is None else _FUSED == "1"
 
 
 def main():
@@ -88,6 +94,7 @@ def main():
         out, _ = beam_lib.beam_decode(
             params, mcfg, VOCAB, E, start_id, end_id, pad_id, ctx,
             MAX_LEN, beam_size=BEAM, compute_dtype=compute_dtype,
+            use_megakernel=MEGAKERNEL, use_fused_scores=FUSED_SCORES,
         )
         return out
 

@@ -134,6 +134,9 @@ class DecodeConfig:
     # the benchmarked configuration.
     beam_size: int = 5
     batch_size: int = 1              # reference uses 1; we support batched decode
+    # Fused decoder-step Pallas megakernel (kernels/decoder_step.py);
+    # None = beam_decode's measured default.
+    use_megakernel: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -194,6 +194,7 @@ def _embed_tokens_beam(
     static_argnames=(
         "cfg", "vocab_size", "num_entity_rows", "max_len", "beam_size",
         "compute_dtype", "length_normalize", "use_fused_scores",
+        "use_megakernel",
     ),
 )
 def beam_decode(
@@ -210,6 +211,7 @@ def beam_decode(
     compute_dtype=jnp.float32,
     length_normalize: bool = True,
     use_fused_scores=None,
+    use_megakernel=None,
 ):
     """Returns (tokens (B, max_len), scores (B,)) for the best hypothesis."""
     if use_fused_scores is None:
@@ -219,6 +221,11 @@ def beam_decode(
         # floor), so it is opt-in; it pays off at larger vocabularies where
         # the (N, S) score materialization dominates.
         use_fused_scores = False
+    if use_megakernel is None:
+        # Fused whole-stack decoder-step Pallas kernel
+        # (kernels/decoder_step.py).  Off by default until measured on the
+        # flagship shapes; CPU oracle tests opt in explicitly (interpreter).
+        use_megakernel = False
     params = _cast_float_params(params, compute_dtype)
     B = ctx.entities_encoded.shape[0]
     K = beam_size
@@ -247,13 +254,25 @@ def beam_decode(
     # Only beam 0 is alive at step 0 (all beams start identical).
     log_probs = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones((B, 1))
     cache_dt = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
-    caches = [
-        {
-            "k": jnp.zeros((B, max_len * K, D), cache_dt),
-            "v": jnp.zeros((B, max_len * K, D), cache_dt),
-        }
-        for _ in range(cfg.num_layers)
-    ]
+    if use_megakernel:
+        from icek_tpu.kernels import decoder_step as dsk
+
+        caches = (
+            jnp.zeros((cfg.num_layers, B, max_len * K, D), cache_dt),
+            jnp.zeros((cfg.num_layers, B, max_len * K, D), cache_dt),
+        )
+        stacked = dsk.stack_decoder_params(
+            params["decoder"], H, K, max_len, dtype=cache_dt
+        )
+        cross_k, cross_v, mem_len = dsk.pad_cross_kv(ctx.cross_kvs, cache_dt)
+    else:
+        caches = [
+            {
+                "k": jnp.zeros((B, max_len * K, D), cache_dt),
+                "v": jnp.zeros((B, max_len * K, D), cache_dt),
+            }
+            for _ in range(cfg.num_layers)
+        ]
     head_mask = _head_mask(H, D // H)
     group = _group_matrix(max_len, K)
     ancestry = jnp.broadcast_to(
@@ -274,10 +293,27 @@ def beam_decode(
             ctx.entities_encoded, ctx.facts_encoded,
         )
         x = emb * sqrt_d + pos_table[i]
-        h, new_caches = _beam_decoder_step(
-            params["decoder"], x, caches, ancestry, i, ctx.cross_kvs, H,
-            head_mask, group, compute_dtype,
-        )
+        if use_megakernel:
+            from icek_tpu.kernels import decoder_step as dsk
+
+            caches_k, caches_v = caches
+            sel_plain = jax.nn.one_hot(ancestry, K, dtype=jnp.float32).reshape(
+                B, K, max_len * K
+            )
+            h, k_new, v_new = dsk.fused_beam_decoder_step(
+                stacked, x, sel_plain, caches_k, caches_v, cross_k, cross_v,
+                i, num_heads=H, head_dim=D // H, mem_len=mem_len,
+            )
+            h = h.astype(compute_dtype)
+            new_caches = (
+                jax.lax.dynamic_update_slice(caches_k, k_new, (0, 0, i * K, 0)),
+                jax.lax.dynamic_update_slice(caches_v, v_new, (0, 0, i * K, 0)),
+            )
+        else:
+            h, new_caches = _beam_decoder_step(
+                params["decoder"], x, caches, ancestry, i, ctx.cross_kvs, H,
+                head_mask, group, compute_dtype,
+            )
         fact_before = None
         if cfg.has_facts:
             fact_before = jnp.take_along_axis(

@@ -99,6 +99,7 @@ class Evaluator:
                 wm.start_id, wm.end_id, wm.pad_id, ctx,
                 cfg.decode.max_caption_len, beam_size=self.beam_size,
                 compute_dtype=self.compute_dtype,
+                use_megakernel=cfg.decode.use_megakernel,
             )
             return out
 

@@ -154,6 +154,57 @@ def test_flash_captioner_forward_matches_stock(rng, variant):
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused decoder-step megakernel (kernels/decoder_step.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("variant,beam", [("geo", 3), ("knowledge", 5)])
+def test_megakernel_beam_decode_matches_stock(rng, variant, beam):
+    """Full beam_decode with the fused decoder-step Pallas kernel (interpret
+    mode on CPU) vs the stock XLA step: token-exact, scores to 1e-4."""
+    import dataclasses
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.decode import beam as beam_lib
+    from icek_tpu.decode import greedy as greedy_lib
+    from icek_tpu.models import captioner as cap
+
+    base = config_lib.georic() if variant == "geo" else config_lib.k_georic()
+    cfg = dataclasses.replace(
+        base.model, emb_dim=16, num_heads=2, decoder_ffn_dim=24,
+        encoder_ffn_dim=24, num_layers=2, type_vocab=20,
+        num_predicates=8 if base.model.has_facts else 0,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    )
+    V, E, F, B = 30, 5, 4, 2
+    params = cap.init_captioner_params(jax.random.PRNGKey(1), cfg, V)
+    ents = np.zeros((B, E, 5), np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 1:4] = rng.uniform(0, 1, (B, E, 3))
+    ents[:, :, 4] = rng.integers(0, 20, (B, E))
+    facts = None
+    if cfg.has_facts:
+        facts = np.zeros((B, F, 3), np.float32)
+        facts[:, :, 1] = rng.integers(0, E, (B, F))
+        facts[:, :, 2] = rng.integers(0, 8, (B, F))
+        facts = jnp.asarray(facts)
+    tokens = jnp.asarray(rng.standard_normal((B, 8, 16)).astype(np.float32))
+    ctx = greedy_lib.prepare_decode_context(
+        params, cfg, tokens, jnp.asarray(ents), facts
+    )
+    args = (params, cfg, V, E, V - 2, V - 1, 0, ctx, 7)
+    want_t, want_s = beam_lib.beam_decode(
+        *args, beam_size=beam, use_megakernel=False
+    )
+    got_t, got_s = beam_lib.beam_decode(
+        *args, beam_size=beam, use_megakernel=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), atol=1e-4
+    )
+
+
 def test_flash_train_step_grads_finite(rng):
     """Flash path with dropout active: the train step produces finite loss
     and gradients (full statistics are TPU-gated; interpret-mode PRNG keeps
