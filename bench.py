@@ -48,6 +48,8 @@ MEGAKERNEL = None if _MEGA is None else _MEGA == "1"
 # fused score/top-k kernel A/B
 _FUSED = os.environ.get("BENCH_FUSED_SCORES")
 FUSED_SCORES = None if _FUSED is None else _FUSED == "1"
+# int8 KV serving mode A/B: BENCH_KV_DTYPE=int8
+KV_DTYPE = os.environ.get("BENCH_KV_DTYPE") or None
 
 
 def main():
@@ -95,12 +97,17 @@ def main():
             params, mcfg, VOCAB, E, start_id, end_id, pad_id, ctx,
             MAX_LEN, beam_size=BEAM, compute_dtype=compute_dtype,
             use_megakernel=MEGAKERNEL, use_fused_scores=FUSED_SCORES,
+            kv_dtype=KV_DTYPE,
         )
         return out
 
     # warmup / compile; force a value fetch — block_until_ready alone does
     # not reliably drain the queue through the axon tunnel
     int(np.asarray(pipeline(images))[0, 0])
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            int(np.asarray(pipeline(images))[0, 0])
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()

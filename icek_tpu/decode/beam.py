@@ -56,6 +56,59 @@ def _gather_parents(x, parent):
     return jax.vmap(lambda row, idx: row[idx])(x, parent)
 
 
+def _quantize_rows(x, axis=-1):
+    """Symmetric per-row int8 quantization along `axis`.
+
+    Returns (q int8, scale f32) with x ~= q * scale.  Scales fold into the
+    attention math AFTER the int8 contraction (K scales scale logits rows,
+    V scales pre-scale the attention weights), so the dequantized tensor is
+    never materialized — the HBM stream is the int8 payload, half the bf16
+    bytes.  Serving-mode option; not bit-parity with the float path.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale
+
+
+def quantize_cross_kvs(cross_kvs):
+    """[{'k','v'}: (B, M, H, Hd)] -> int8 payloads + per-(b,m,h) scales."""
+    out = []
+    for c in cross_kvs:
+        kq, ks = _quantize_rows(c["k"])          # scale (B, M, H, 1)
+        vq, vs = _quantize_rows(c["v"])
+        out.append({
+            "kq": kq, "vq": vq,
+            # (B, 1, H, M): broadcastable over the (B, K, H, M) logits
+            "ks": jnp.transpose(ks[..., 0], (0, 2, 1))[:, None],
+            "vs": jnp.transpose(vs[..., 0], (0, 2, 1))[:, None],
+        })
+    return out
+
+
+def _beam_cross_attention_int8(mha, x, cross, num_heads, compute_dtype):
+    """Cross-attention over int8-quantized shared KV: logits scale by the
+    per-row K scales post-contraction; V scales fold into the weights."""
+    B, K, D = x.shape
+    H = num_heads
+    Hd = D // H
+    w = mha["qkv_w"].astype(compute_dtype)
+    b = mha["qkv_b"].astype(compute_dtype)
+    q = (x.astype(compute_dtype) @ w[:, :D] + b[:D]).reshape(B, K, H, Hd)
+    logits = jnp.einsum(
+        "bkhd,bmhd->bkhm", q, cross["kq"].astype(compute_dtype)
+    ).astype(jnp.float32) * cross["ks"] / math.sqrt(Hd)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bkhm,bmhd->bkhd",
+        (weights * cross["vs"]).astype(compute_dtype),
+        cross["vq"].astype(compute_dtype),
+    ).reshape(B, K, D)
+    return tfm.linear(mha["out"], out, compute_dtype)
+
+
 def _head_mask(H: int, Hd: int) -> jnp.ndarray:
     """(H, H*Hd) block mask: row h is 1 on head h's feature dims.
 
@@ -120,6 +173,46 @@ def _beam_self_attention(mha, x, cache, sel, i, num_heads, head_mask, group,
     return out, {"k": k_cache, "v": v_cache}
 
 
+def _beam_self_attention_int8(mha, x, cache, sel, i, num_heads, head_mask,
+                              group, compute_dtype):
+    """_beam_self_attention over an int8 cache: this step's K/V rows are
+    quantized per row at write; row scales fold into the logits (K) and
+    the slot weights (V) after the int8 contractions."""
+    B, K, D = x.shape
+    H = num_heads
+    Hd = D // H
+    w = mha["qkv_w"].astype(compute_dtype)
+    b = mha["qkv_b"].astype(compute_dtype)
+    proj = x.astype(compute_dtype) @ w + b
+    q, k_new, v_new = jnp.split(proj, 3, axis=-1)
+    kq_new, ks_new = _quantize_rows(k_new)       # (B, K, D), (B, K, 1)
+    vq_new, vs_new = _quantize_rows(v_new)
+    k_cache = jax.lax.dynamic_update_slice(cache["kq"], kq_new, (0, i * K, 0))
+    v_cache = jax.lax.dynamic_update_slice(cache["vq"], vq_new, (0, i * K, 0))
+    ks = jax.lax.dynamic_update_slice(cache["ks"], ks_new[..., 0], (0, i * K))
+    vs = jax.lax.dynamic_update_slice(cache["vs"], vs_new[..., 0], (0, i * K))
+    L = k_cache.shape[1] // K
+    hm = head_mask.astype(compute_dtype)
+    qh = (q[:, :, None, :] * hm[None, None]).reshape(B, K * H, D)
+    logits_all = jnp.einsum(
+        "bqd,bnd->bqn", qh, k_cache.astype(compute_dtype)
+    ).astype(jnp.float32) * ks[:, None, :] / math.sqrt(Hd)
+    masked = logits_all * sel
+    lg = jnp.einsum("bqn,nl->bql", masked, group)            # (B, K*H, L)
+    valid = jnp.arange(L) <= i
+    lg = jnp.where(valid[None, None, :], lg, -jnp.inf)
+    weights = jax.nn.softmax(lg, axis=-1)
+    slot_w = jnp.einsum("bql,nl->bqn", weights, group) * sel
+    out_h = jnp.einsum(
+        "bqn,bnd->bqd",
+        (slot_w * vs[:, None, :]).astype(compute_dtype),
+        v_cache.astype(compute_dtype),
+    )
+    out = jnp.sum(out_h.reshape(B, K, H, D) * hm[None, None], axis=2)
+    out = tfm.linear(mha["out"], out, compute_dtype)
+    return out, {"kq": k_cache, "vq": v_cache, "ks": ks, "vs": vs}
+
+
 def _beam_cross_attention(mha, x, cross_kv, num_heads, compute_dtype):
     """Cross-attention of (B, K, D) queries over shared (B, M, H, Hd) KV."""
     B, K, D = x.shape
@@ -139,22 +232,27 @@ def _beam_cross_attention(mha, x, cross_kv, num_heads, compute_dtype):
 
 
 def _beam_decoder_step(decoder_params, x, caches, anc, i, cross_kvs,
-                       num_heads, head_mask, group, compute_dtype):
+                       num_heads, head_mask, group, compute_dtype,
+                       kv_int8=False):
     """All decoder layers for one beam step; x: (B, K, D)."""
     B, K, D = x.shape
     H = num_heads
-    LK = caches[0]["k"].shape[1]
+    LK = caches[0]["kq" if kv_int8 else "k"].shape[1]
     # ancestry selector shared by all layers: (B, K*H, L*K)
     sel = jax.nn.one_hot(anc, K, dtype=jnp.float32).reshape(B, K, LK)
     sel = jnp.repeat(sel, H, axis=1)
     new_caches = []
     for layer, cache, cross in zip(decoder_params["layers"], caches, cross_kvs):
-        attn, new_cache = _beam_self_attention(
+        self_fn = _beam_self_attention_int8 if kv_int8 else _beam_self_attention
+        attn, new_cache = self_fn(
             layer["self_attn"], x, cache, sel, i, num_heads, head_mask, group,
             compute_dtype,
         )
         x = tfm.layer_norm(layer["norm1"], x + attn)
-        cross_out = _beam_cross_attention(
+        cross_fn = (
+            _beam_cross_attention_int8 if kv_int8 else _beam_cross_attention
+        )
+        cross_out = cross_fn(
             layer["cross_attn"], x, cross, num_heads, compute_dtype
         )
         x = tfm.layer_norm(layer["norm2"], x + cross_out)
@@ -194,7 +292,7 @@ def _embed_tokens_beam(
     static_argnames=(
         "cfg", "vocab_size", "num_entity_rows", "max_len", "beam_size",
         "compute_dtype", "length_normalize", "use_fused_scores",
-        "use_megakernel",
+        "use_megakernel", "kv_dtype",
     ),
 )
 def beam_decode(
@@ -212,8 +310,18 @@ def beam_decode(
     length_normalize: bool = True,
     use_fused_scores=None,
     use_megakernel=None,
+    kv_dtype=None,
 ):
-    """Returns (tokens (B, max_len), scores (B,)) for the best hypothesis."""
+    """Returns (tokens (B, max_len), scores (B,)) for the best hypothesis.
+
+    kv_dtype="int8" (serving mode, opt-in) stores the self-attention caches
+    and the precomputed cross-attention K/V as per-row-quantized int8 —
+    halving the per-step HBM stream that bounds decode on this chip (the
+    ~450 MB/step cross-KV re-read; see kernels/decoder_step.py's analysis).
+    Scales fold into the attention math after the int8 contractions, so
+    dequantized tensors never materialize.  Not bit-parity with the float
+    path (quality-checked in tests instead).
+    """
     if use_fused_scores is None:
         # Measured on v5e-1 at the preset shapes (V=10k): the Pallas fused
         # scoring kernel ties XLA for greedy and loses for beam (XLA's
@@ -254,7 +362,22 @@ def beam_decode(
     # Only beam 0 is alive at step 0 (all beams start identical).
     log_probs = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones((B, 1))
     cache_dt = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
-    if use_megakernel:
+    kv_int8 = kv_dtype == "int8"
+    if kv_int8 and use_megakernel:
+        raise ValueError("kv_dtype='int8' is not supported with the megakernel")
+    cross_for_step = ctx.cross_kvs
+    if kv_int8:
+        cross_for_step = quantize_cross_kvs(ctx.cross_kvs)
+        caches = [
+            {
+                "kq": jnp.zeros((B, max_len * K, D), jnp.int8),
+                "vq": jnp.zeros((B, max_len * K, D), jnp.int8),
+                "ks": jnp.zeros((B, max_len * K), jnp.float32),
+                "vs": jnp.zeros((B, max_len * K), jnp.float32),
+            }
+            for _ in range(cfg.num_layers)
+        ]
+    elif use_megakernel:
         from icek_tpu.kernels import decoder_step as dsk
 
         caches = (
@@ -311,8 +434,8 @@ def beam_decode(
             )
         else:
             h, new_caches = _beam_decoder_step(
-                params["decoder"], x, caches, ancestry, i, ctx.cross_kvs, H,
-                head_mask, group, compute_dtype,
+                params["decoder"], x, caches, ancestry, i, cross_for_step, H,
+                head_mask, group, compute_dtype, kv_int8=kv_int8,
             )
         fact_before = None
         if cfg.has_facts:

@@ -205,6 +205,61 @@ def test_megakernel_beam_decode_matches_stock(rng, variant, beam):
     )
 
 
+# ---------------------------------------------------------------------------
+# int8 KV decode (decode/beam.py kv_dtype="int8")
+# ---------------------------------------------------------------------------
+
+def test_quantize_rows_error_bound(rng):
+    from icek_tpu.decode import beam as beam_lib
+
+    x = jnp.asarray(rng.standard_normal((4, 7, 40)).astype(np.float32)) * 3.0
+    q, scale = beam_lib._quantize_rows(x)
+    assert q.dtype == jnp.int8
+    deq = q.astype(np.float32) * np.asarray(scale)
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    # symmetric per-row quantization: error <= half a quantization step
+    # (+ f32 division rounding slack)
+    bound = np.broadcast_to(amax / 127.0 * 0.505 + 1e-6, deq.shape)
+    np.testing.assert_array_less(np.abs(deq - np.asarray(x)), bound)
+
+
+def test_int8_kv_beam_close_to_float(rng):
+    """kv_dtype='int8' (serving mode): hypothesis scores stay within
+    quantization noise of the float path and tokens mostly agree."""
+    import dataclasses
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.decode import beam as beam_lib
+    from icek_tpu.decode import greedy as greedy_lib
+    from icek_tpu.models import captioner as cap
+
+    base = config_lib.k_georic()
+    cfg = dataclasses.replace(
+        base.model, emb_dim=16, num_heads=2, decoder_ffn_dim=24,
+        encoder_ffn_dim=24, num_layers=2, type_vocab=20, num_predicates=8,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    )
+    V, E, F, B = 30, 5, 4, 4
+    params = cap.init_captioner_params(jax.random.PRNGKey(1), cfg, V)
+    ents = np.zeros((B, E, 5), np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 1:4] = rng.uniform(0, 1, (B, E, 3))
+    ents[:, :, 4] = rng.integers(0, 20, (B, E))
+    facts = np.zeros((B, F, 3), np.float32)
+    facts[:, :, 1] = rng.integers(0, E, (B, F))
+    facts[:, :, 2] = rng.integers(0, 8, (B, F))
+    tokens = jnp.asarray(rng.standard_normal((B, 8, 16)).astype(np.float32))
+    ctx = greedy_lib.prepare_decode_context(
+        params, cfg, tokens, jnp.asarray(ents), jnp.asarray(facts)
+    )
+    args = (params, cfg, V, E, V - 2, V - 1, 0, ctx, 7)
+    ft, fs = beam_lib.beam_decode(*args, beam_size=5)
+    qt, qs = beam_lib.beam_decode(*args, beam_size=5, kv_dtype="int8")
+    np.testing.assert_allclose(np.asarray(qs), np.asarray(fs), atol=0.05)
+    agree = (np.asarray(qt) == np.asarray(ft)).mean()
+    assert agree >= 0.8, agree
+
+
 def test_flash_train_step_grads_finite(rng):
     """Flash path with dropout active: the train step produces finite loss
     and gradients (full statistics are TPU-gated; interpret-mode PRNG keeps
