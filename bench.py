@@ -77,12 +77,17 @@ def main():
 
     start_id, end_id, pad_id = VOCAB - 2, VOCAB - 1, 0
 
+    # Frozen-encoder fast path: BN affines folded into the conv weights
+    # (resnet.fold_bn_params) — removes the standalone BN elementwise passes
+    # that dominate the encode profile at batch 256.
+    folded = resnet.fold_bn_params(encoder_params)
+
     # encode + context/memory prep + decode in ONE jitted executable:
     # separate jits cost ~30ms of dispatch each through the runtime boundary
     @jax.jit
     def pipeline(imgs):
-        tokens = resnet.resnet_encode(
-            encoder_params, imgs, mcfg.encoded_image_size,
+        tokens = resnet.resnet_encode_folded(
+            folded, imgs, mcfg.encoded_image_size,
             compute_dtype=compute_dtype,
         )
         ctx = greedy_lib.prepare_decode_context(

@@ -85,12 +85,14 @@ def run_preset(name, batch, beam, vocab=10000, seed=0):
     ents_j = jnp.asarray(ents)
     facts_j = jnp.asarray(facts) if facts is not None else None
 
+    folded = resnet.fold_bn_params(encoder_params)
+
     # the production path: encode + context prep + beam decode in ONE
     # jitted executable (per-stage jits pay a dispatch boundary each)
     @jax.jit
     def pipeline(images):
-        tokens = resnet.resnet_encode(
-            encoder_params, images, cfg.model.encoded_image_size,
+        tokens = resnet.resnet_encode_folded(
+            folded, images, cfg.model.encoded_image_size,
             compute_dtype=compute_dtype,
         )
         ctx = greedy_lib.prepare_decode_context(

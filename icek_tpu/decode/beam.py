@@ -74,23 +74,31 @@ def _quantize_rows(x, axis=-1):
 
 
 def quantize_cross_kvs(cross_kvs):
-    """[{'k','v'}: (B, M, H, Hd)] -> int8 payloads + per-(b,m,h) scales."""
+    """[{'k','v'}: (B, M, H, Hd)] -> int8 payloads and scales.
+
+    K quantizes per row (b, m, h): its scale multiplies the logits (an
+    elementwise producer XLA fuses into the softmax chain).  V quantizes
+    along the MEMORY axis (per (b, h, d)): d is not contracted, so its
+    scale multiplies the tiny (B, K, H, Hd) attention OUTPUT — folding it
+    into the softmax weights instead would break XLA's softmax-into-AV
+    fusion and materialize f32 (B, K, H, M) probabilities (profiled:
+    ~0.5 ms/step regression)."""
     out = []
     for c in cross_kvs:
         kq, ks = _quantize_rows(c["k"])          # scale (B, M, H, 1)
-        vq, vs = _quantize_rows(c["v"])
+        vq, vs = _quantize_rows(c["v"], axis=1)  # scale (B, 1, H, Hd)
         out.append({
             "kq": kq, "vq": vq,
             # (B, 1, H, M): broadcastable over the (B, K, H, M) logits
             "ks": jnp.transpose(ks[..., 0], (0, 2, 1))[:, None],
-            "vs": jnp.transpose(vs[..., 0], (0, 2, 1))[:, None],
+            "vs": vs,                            # (B, 1, H, Hd) over output
         })
     return out
 
 
 def _beam_cross_attention_int8(mha, x, cross, num_heads, compute_dtype):
-    """Cross-attention over int8-quantized shared KV: logits scale by the
-    per-row K scales post-contraction; V scales fold into the weights."""
+    """Cross-attention over int8-quantized shared KV: K row scales multiply
+    the logits; V per-feature scales multiply the attention output."""
     B, K, D = x.shape
     H = num_heads
     Hd = D // H
@@ -103,10 +111,11 @@ def _beam_cross_attention_int8(mha, x, cross, num_heads, compute_dtype):
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bkhm,bmhd->bkhd",
-        (weights * cross["vs"]).astype(compute_dtype),
+        weights.astype(compute_dtype),
         cross["vq"].astype(compute_dtype),
-    ).reshape(B, K, D)
-    return tfm.linear(mha["out"], out, compute_dtype)
+    ) * cross["vs"]
+    return tfm.linear(mha["out"], out.astype(compute_dtype).reshape(B, K, D),
+                      compute_dtype)
 
 
 def _head_mask(H: int, Hd: int) -> jnp.ndarray:
@@ -314,13 +323,18 @@ def beam_decode(
 ):
     """Returns (tokens (B, max_len), scores (B,)) for the best hypothesis.
 
-    kv_dtype="int8" (serving mode, opt-in) stores the self-attention caches
-    and the precomputed cross-attention K/V as per-row-quantized int8 —
-    halving the per-step HBM stream that bounds decode on this chip (the
-    ~450 MB/step cross-KV re-read; see kernels/decoder_step.py's analysis).
-    Scales fold into the attention math after the int8 contractions, so
-    dequantized tensors never materialize.  Not bit-parity with the float
-    path (quality-checked in tests instead).
+    kv_dtype="int8" (opt-in) stores the self-attention caches and the
+    precomputed cross-attention K/V as per-row-quantized int8, halving
+    their HBM payload; scales fold into the attention math after the int8
+    contractions (K scales on the logits, V scales on the un-contracted
+    output), so dequantized tensors never materialize.  Not bit-parity
+    with the float path (quality-checked in tests instead).
+    MEASURED (v5e-1, controlled back-to-back A/B at the flagship batch-256
+    beam-5 shapes): 1420 vs 1572 captions/s — SLOWER than bf16 on this
+    chip.  The stock bf16 softmax->AV fusion chain is already
+    stream-optimal there, and the extra scale elementwise breaks it; the
+    option is kept (tested) for HBM-poorer parts or much larger memories
+    where the byte halving dominates.
     """
     if use_fused_scores is None:
         # Measured on v5e-1 at the preset shapes (V=10k): the Pallas fused

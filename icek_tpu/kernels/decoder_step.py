@@ -15,16 +15,18 @@ stream, and layer weights are fetched once per step (constant block index
 => Mosaic elides the re-copy across grid steps).
 
 MEASURED (v5e-1, flagship shapes B=256 K=5 geo): 7.0 ms/step vs the stock
-XLA step's 2.1 ms — the kernel is OFF by default.  Root cause, profiled
-with DMA-only kernel variants: this chip sustains ~233 GB/s effective HBM
-bandwidth (measured via XLA reduction), the stock step's ~450 MB of
-cross-KV reads already saturate it (~1.9 ms floor), and the Pallas
-per-program DMA pipeline only reaches ~140 GB/s at these block sizes
-(4.3-4.5 ms for the same bytes, layout- and Bt-insensitive).  Fusing ops
-cannot beat a bandwidth-saturated baseline; byte REDUCTION (int8 KV) is
-the productive lever.  The kernel is kept as a tested, opt-in
-implementation for hardware where compute/dispatch, not HBM, bounds the
-step.
+XLA step's 2.1 ms — the kernel is OFF by default.  Root cause, isolated
+with DMA-only kernel variants: the per-(image)-program DMA pipeline only
+reaches ~140 GB/s at these block sizes (4.3-4.5 ms for the step's
+~614 MB, insensitive to image-major vs layer-major layout and to Bt=2
+block batching), while XLA's async-sliced cross-attention fusions on the
+same tensors sustain >600 GB/s (profiled: a 76 MB cross-V contraction in
+122 us).  Many small per-image blocks through the Pallas pipeline cannot
+match XLA's large async-sliced streams here, so op fusion loses to the
+stock path end to end; byte REDUCTION (decode/beam.py kv_dtype="int8")
+is the productive lever on this workload instead.  The kernel is kept as
+a tested, opt-in implementation for shapes/hardware where dispatch or
+compute, not stream efficiency, bounds the step.
 
 Semantics match decode/beam.py::_beam_decoder_step exactly (same masking,
 same ancestry slot-group attention, layer norm in f32): the oracle test

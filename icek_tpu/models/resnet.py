@@ -245,6 +245,97 @@ def merge_bn_stats(params, stats):
 
 
 # --------------------------------------------------------------------------
+# Inference-mode BN folding (frozen-encoder fast path)
+# --------------------------------------------------------------------------
+
+def fold_bn_params(params, eps: float = 1e-5):
+    """Fold each inference-mode batch-norm affine into its preceding conv.
+
+    For the frozen encoder (the reference default, geo train.py:52) BN is a
+    per-channel affine of the running stats: y = x*s + t with
+    s = scale*rsqrt(var+eps), t = bias - mean*s.  Scaling the conv's output
+    channels by s and carrying t as a bias is numerically the same product
+    (up to float reassociation) but removes every standalone BN elementwise
+    pass over the big activations — profiled at ~1/3 of the encode time at
+    batch 256 (the conv+bias+relu chain fuses into the conv epilogue;
+    unfused BN/residual passes stream 100+ MB activations each at VPU
+    bandwidth).
+
+    Returns a folded tree for ``resnet_encode_folded``:
+    {"conv1", "b1", "layer{1..4}": [{"conv1","b1",...,"down_conv","down_b"}],
+     "proj"}.
+    """
+
+    def fold(w, bn):
+        s = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
+        return (
+            w * s.astype(w.dtype),                    # HWIO: out chan = last
+            (bn["bias"] - bn["mean"] * s).astype(jnp.float32),
+        )
+
+    out = {}
+    out["conv1"], out["b1"] = fold(params["conv1"], params["bn1"])
+    for stage in range(1, 5):
+        blocks = []
+        for block in params[f"layer{stage}"]:
+            fb = {}
+            for i in (1, 2, 3):
+                fb[f"conv{i}"], fb[f"b{i}"] = fold(
+                    block[f"conv{i}"], block[f"bn{i}"]
+                )
+            if "down_conv" in block:
+                fb["down_conv"], fb["down_b"] = fold(
+                    block["down_conv"], block["down_bn"]
+                )
+            blocks.append(fb)
+        out[f"layer{stage}"] = blocks
+    out["proj"] = params["proj"]
+    return out
+
+
+def _bottleneck_folded(block, x, stride=1, compute_dtype=jnp.float32):
+    def cb(name, y, s=1):
+        return conv(y, block[name], s, compute_dtype) + block[
+            name.replace("conv", "b")
+        ].astype(compute_dtype)
+
+    out = jax.nn.relu(cb("conv1", x))
+    out = jax.nn.relu(cb("conv2", out, stride))
+    out = cb("conv3", out)
+    if "down_conv" in block:
+        shortcut = conv(x, block["down_conv"], stride, compute_dtype) + block[
+            "down_b"
+        ].astype(compute_dtype)
+    else:
+        shortcut = x.astype(out.dtype)
+    return jax.nn.relu(out + shortcut)
+
+
+def resnet_encode_folded(
+    folded,
+    images: jnp.ndarray,
+    encoded_size: int = 14,
+    compute_dtype=jnp.float32,
+):
+    """resnet_encode over a fold_bn_params tree (inference only)."""
+    x = conv(images, folded["conv1"], 2, compute_dtype) + folded["b1"].astype(
+        compute_dtype
+    )
+    x = jax.nn.relu(x)
+    x = max_pool_3x3_s2(x)
+    for stage in range(1, 5):
+        for b, block in enumerate(folded[f"layer{stage}"]):
+            stride = 2 if (stage > 1 and b == 0) else 1
+            x = _bottleneck_folded(block, x, stride, compute_dtype)
+    x = adaptive_avg_pool(x, (encoded_size, encoded_size))
+    x = conv(x, folded["proj"]["w"], 1, compute_dtype) + folded["proj"][
+        "b"
+    ].astype(compute_dtype)
+    B, H, W, D = x.shape
+    return x.reshape(B, H * W, D)
+
+
+# --------------------------------------------------------------------------
 # torch import
 # --------------------------------------------------------------------------
 

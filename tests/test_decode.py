@@ -373,3 +373,50 @@ def test_greedy_parity_fuzzed_shapes(shape_seed):
         ctx, max_len,
     )
     np.testing.assert_array_equal(np.asarray(got)[0], want)
+
+
+# ---------------------------------------------------------------------------
+# top-k primitives (decode/topk.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,k,seg", [
+    (10301, 5, 512),   # beam flagship: segmented path, ragged last segment
+    (4096, 2, 512),    # exact multiple
+    (2049, 8, 512),    # boundary: just over the segmented threshold
+    (300, 5, 512),     # small row: iterative path
+])
+def test_top_k_matches_lax(rng, n, k, seg):
+    from icek_tpu.decode import topk
+
+    x = jnp.asarray(rng.standard_normal((7, n)).astype(np.float32))
+    want_v, want_i = jax.lax.top_k(x, k)
+    got_v, got_i = topk.top_k(x, k, seg=seg)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_top_k_tie_breaking_first_index(rng):
+    """Exact ties across and within segments resolve to the lowest index,
+    matching lax.top_k — including duplicated maxima inside one segment."""
+    from icek_tpu.decode import topk
+
+    x = np.zeros((3, 3000), np.float32)
+    x[0, [7, 600, 601, 2999]] = 5.0          # cross-segment + within-segment
+    x[1, [512, 513]] = 2.0                   # adjacent in one segment
+    x[2, :] = 1.0                            # everything tied
+    x = jnp.asarray(x)
+    for k in (3, 5):
+        want_v, want_i = jax.lax.top_k(x, k)
+        got_v, got_i = topk.top_k(x, k, seg=512)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_top_k_two_stage_matches_flat(rng):
+    from icek_tpu.decode import topk
+
+    total = jnp.asarray(rng.standard_normal((4, 5, 10301)).astype(np.float32))
+    want_v, want_i = jax.lax.top_k(total.reshape(4, 5 * 10301), 5)
+    got_v, got_i = topk.top_k_two_stage(total, 5)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))

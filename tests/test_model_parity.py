@@ -276,6 +276,32 @@ def test_resnet_primitives_match_torch(rng):
     np.testing.assert_allclose(np.asarray(j), want, atol=1e-4)
 
 
+def test_fold_bn_matches_exact_encode(rng):
+    """fold_bn_params + resnet_encode_folded reproduces the exact
+    inference-mode encode (BN affine algebraically folded into convs)."""
+    from icek_tpu.models import resnet as rn
+
+    params = rn.init_resnet101(jax.random.PRNGKey(5), emb_dim=24)
+    # non-trivial running stats everywhere
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: x
+        + jnp.asarray(
+            np.random.default_rng(7).uniform(0.1, 0.9, x.shape).astype(np.float32)
+        )
+        if any(getattr(p, "key", None) in ("mean", "var", "scale", "bias")
+               for p in path)
+        else x,
+        params,
+    )
+    images = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    want = rn.resnet_encode(params, images, encoded_size=4)
+    folded = rn.fold_bn_params(params)
+    got = rn.resnet_encode_folded(folded, images, encoded_size=4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
+
+
 def test_bn_train_mode_matches_torch(rng):
     """Train-mode batch-norm (the reference's frozen-encoder side effect,
     geo-aware/train.py:245): outputs normalize by batch stats and the
