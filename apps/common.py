@@ -47,6 +47,9 @@ def run_create_input_files(preset: str, argv=None):
     p.add_argument("--output", default="img_caption_data/input_dataset_files/")
     p.add_argument("--wordmap", default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--streaming", action="store_true",
+                   help="additionally build the chunked HDF5 sidecar stores "
+                        "for the constant-memory streaming loader")
     args = p.parse_args(argv)
     from icek_tpu.data.input_files import InputFileWriter
 
@@ -56,6 +59,13 @@ def run_create_input_files(preset: str, argv=None):
         wordmap_file_path=args.wordmap, seed=args.seed,
     )
     writer.run()
+    if args.streaming:
+        from icek_tpu.data import streaming
+
+        for split in ("TRAIN", "VAL", "TEST"):
+            streaming.write_sidecar_store(
+                args.output, cfg.data.base_name, split, cfg.model.has_facts
+            )
 
 
 def run_train(preset: str, argv=None):
@@ -66,10 +76,17 @@ def run_train(preset: str, argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--glove", default=None,
                    help="path to GloVe-format embeddings for word init")
+    p.add_argument("--streaming", action="store_true",
+                   help="stream batches from the chunked HDF5 sidecar store "
+                        "(constant host memory; NYTimes800k scale)")
     args = p.parse_args(argv)
+    import dataclasses
+
     from icek_tpu.train import loop as train_loop
     from icek_tpu.train.embeddings import load_glove_embeddings
 
+    if args.streaming:
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, streaming=True))
     wm = load_wordmap(args.data_dir, cfg.data.base_name)
     pretrained = None
     if args.glove:
@@ -100,6 +117,8 @@ def run_eval(preset: str, argv=None):
     p.add_argument("--entities", default="img_caption_data/entity_context.pkl")
     p.add_argument("--knowledge", default="img_caption_data/knowledge_context.pkl")
     p.add_argument("--output", default="generated_captions.csv")
+    p.add_argument("--streaming", action="store_true",
+                   help="read the TEST split via the streaming loader")
     args = p.parse_args(argv)
 
     from icek_tpu import eval_driver
@@ -125,9 +144,16 @@ def run_eval(preset: str, argv=None):
     else:
         params, _, encoder_params, _ = ckpt_lib.load_checkpoint(args.checkpoint)
 
-    data = ds.CaptionDataset(
-        args.data_dir, cfg.data.base_name, "TEST", cfg.model.has_facts
-    )
+    if args.streaming:
+        from icek_tpu.data import streaming
+
+        data = streaming.StreamingCaptionDataset(
+            args.data_dir, cfg.data.base_name, "TEST", cfg.model.has_facts
+        )
+    else:
+        data = ds.CaptionDataset(
+            args.data_dir, cfg.data.base_name, "TEST", cfg.model.has_facts
+        )
     evaluator = eval_driver.Evaluator(
         cfg, wm, params, encoder_params,
         batch_size=args.batch_size, beam_size=args.beam,

@@ -91,6 +91,41 @@ def test_geo_apps_pipeline(tmp_path):
     assert np.isfinite(scores["Bleu_1"])
 
 
+def test_streaming_cli_flags(tmp_path):
+    """--streaming on prep builds the sidecar stores; train/eval accept the
+    flag and run from them (apps/common.py round-2 surface)."""
+    import dataclasses
+
+    from icek_tpu.data import input_files, streaming
+
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "files"
+    cfg = tiny_cfg()
+    writer = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    )
+    writer.run()
+    # the prep CLI's --streaming epilogue
+    for split in ("TRAIN", "VAL", "TEST"):
+        streaming.write_sidecar_store(str(out_dir), "tiny_geo", split, False)
+        assert os.path.exists(
+            streaming.sidecar_store_path(str(out_dir), "tiny_geo", split)
+        )
+    # the train CLI's --streaming path (library body it dispatches to)
+    from icek_tpu.data.codec import Wordmap
+    from icek_tpu.train import loop as train_loop
+
+    with open(out_dir / "WORDMAP_tiny_geo.json") as f:
+        wm = Wordmap(json.load(f))
+    scfg = cfg.replace(data=dataclasses.replace(cfg.data, streaming=True))
+    result = train_loop.train(
+        scfg, str(out_dir), len(wm), wm.pad_id,
+        checkpoint_dir=str(tmp_path), max_epochs=1, log=lambda s: None,
+    )
+    assert np.isfinite(result.best_loss)
+
+
 def test_cli_help_surfaces():
     """Each of the 12 entry scripts parses --help (argument surface sanity)."""
     for preset_dir in ("geo_aware", "knowledge_aware", "news_knowledge_aware"):
