@@ -48,7 +48,7 @@ def run_create_input_files(preset: str, argv=None):
     p.add_argument("--wordmap", default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--streaming", action="store_true",
-                   help="additionally build the chunked HDF5 sidecar stores "
+                   help="additionally build the HDF5 sidecar stores "
                         "for the constant-memory streaming loader")
     args = p.parse_args(argv)
     from icek_tpu.data.input_files import InputFileWriter
@@ -77,7 +77,7 @@ def run_train(preset: str, argv=None):
     p.add_argument("--glove", default=None,
                    help="path to GloVe-format embeddings for word init")
     p.add_argument("--streaming", action="store_true",
-                   help="stream batches from the chunked HDF5 sidecar store "
+                   help="stream batches from the HDF5 sidecar store "
                         "(constant host memory; NYTimes800k scale)")
     args = p.parse_args(argv)
     import dataclasses

@@ -82,7 +82,7 @@ class DataConfig:
     # wordmap rule deltas (reference: news create_input_files.py:375-387)
     split_tokens_on_underscore: bool = False
     fold_entity_names_into_wordmap: bool = False
-    # Stream batches from a chunked HDF5 sidecar store instead of loading
+    # Stream batches from a HDF5 sidecar store instead of loading
     # the JSON/pkl sidecars into host RAM (data/streaming.py) — for
     # NYTimes800k-scale datasets.  Image tokens cache to disk, not RAM.
     streaming: bool = False

@@ -95,8 +95,16 @@ class CaptionDataset:
     def index_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
                       pad_partial: bool = True) -> Iterator[np.ndarray]:
         """Epoch index batches (uniform shuffle; the streaming dataset
-        overrides this with a chunk-local shuffle)."""
+        overrides this with a read-local shuffle)."""
         return batch_indices(len(self), batch_size, shuffle, seed, pad_partial)
+
+    def epoch_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                      pad_partial: bool = True, with_images: bool = True):
+        """Ready batch dicts for one epoch (the uniform interface the train
+        loop consumes; the streaming dataset implements it with sequential
+        range reads + a windowed shuffle)."""
+        for idx in self.index_batches(batch_size, shuffle, seed, pad_partial):
+            yield self.batch(idx, with_images=with_images)
 
     def batch(self, idx: np.ndarray, with_images: bool = True) -> Dict[str, np.ndarray]:
         a = self.arrays

@@ -7,14 +7,15 @@ news preset's entity/fact context arrays alone are several GB.  This module
 keeps the steady-state training/eval memory constant in dataset size:
 
   * ``write_sidecar_store`` — one-time conversion of a split's sidecars
-    into a single chunked HDF5 store (``{SPLIT}_SIDECAR_{base}.h5``);
+    into a single HDF5 store (``{SPLIT}_SIDECAR_{base}.h5``);
   * ``StreamingCaptionDataset`` — drop-in ``CaptionDataset`` replacement
     whose batches are read from disk per step: images from the protocol
     HDF5, sidecars from the store, and (optionally) frozen-encoder image
     tokens from a disk-backed cache written once per split
     (``{SPLIT}_TOKENS_{base}.h5``) instead of host RAM;
-  * ``block_shuffled_indices`` — epoch shuffling with HDF5-chunk-friendly
-    locality (shuffle blocks, then shuffle within a window of blocks).
+  * ``block_shuffled_indices`` — epoch shuffling with read locality
+    (shuffle blocks, then shuffle within a window of blocks — sorted
+    range reads instead of fully random rows).
 
 The host->device overlap still comes from ``dataset.prefetch`` (depth-2
 thread, double-buffered device puts) exactly as in the in-memory path.
@@ -52,9 +53,8 @@ def token_cache_path(data_dir: str, base_name: str, split: str) -> str:
 
 def write_sidecar_store(
     data_dir: str, base_name: str, split: str, has_facts: bool,
-    chunk_rows: int = 1024,
 ) -> str:
-    """Convert one split's protocol sidecars into the chunked HDF5 store.
+    """Convert one split's protocol sidecars into the HDF5 store.
 
     One-time conversion (run it at prep time right after
     ``InputConstructor.run``): the JSON/pkl sources are parsed once here so
@@ -74,8 +74,11 @@ def write_sidecar_store(
             else:
                 with open(src, "rb") as f:
                     arr = np.asarray(pickle.load(f), dtype=dtype)
-            chunks = (min(chunk_rows, max(len(arr), 1)),) + arr.shape[1:]
-            h.create_dataset(name, data=arr, chunks=chunks)
+            # contiguous layout: exact-range reads for arbitrary row sets.
+            # Chunked layouts round every access up to whole chunks — with
+            # shuffled row access that multiplies read volume by the chunk
+            # row count (measured 15x+ on the token cache).
+            h.create_dataset(name, data=arr)
     return path
 
 
@@ -145,16 +148,16 @@ class StreamingCaptionDataset:
     def cache_image_tokens(self, encode_fn, batch_size: int = 32,
                            dtype=np.float32):
         """Run the frozen encoder over the split once, writing the 196-token
-        features to a disk-backed chunked cache (NOT host RAM — at 800k
+        features to a disk-backed contiguous cache (NOT host RAM — at 800k
         images the tokens alone exceed any host)."""
         import h5py
 
         path = token_cache_path(self._data_dir, self._base_name, self.split)
         probe = np.asarray(encode_fn(self.image_batch(np.arange(1))))
         with h5py.File(path, "w") as h:
+            # contiguous (unchunked): random row gathers read exact ranges
             dset = h.create_dataset(
                 "image_tokens", (len(self),) + probe.shape[1:], dtype=dtype,
-                chunks=(min(batch_size, len(self)),) + probe.shape[1:],
             )
             dset[0] = probe[0]
             for start in range(1, len(self), batch_size):
@@ -170,6 +173,139 @@ class StreamingCaptionDataset:
         return block_shuffled_indices(
             len(self), batch_size, shuffle, seed, pad_partial
         )
+
+    def _range_rows(self, lo: int, hi: int, with_images: bool = True):
+        """One contiguous row range, read as slices (fast h5py path)."""
+        a = self.arrays
+        out = {
+            "caption_ids": a.caption_ids[lo:hi],
+            "caption_mask": a.caption_mask[lo:hi],
+            "lengths": a.lengths[lo:hi],
+            "entity_features": a.entity_features[lo:hi],
+        }
+        if a.fact_features is not None:
+            out["fact_features"] = a.fact_features[lo:hi]
+        if with_images:
+            if self._tokens is not None:
+                out["image_tokens"] = self._tokens[lo:hi].astype(np.float32)
+            else:
+                out["images"] = image_ops.normalize_for_model(
+                    self._images[lo:hi]
+                )
+        return out
+
+    def epoch_batches(
+        self, batch_size: int, shuffle: bool, seed: int = 0,
+        pad_partial: bool = True, with_images: bool = True,
+        block_rows: int = 512, window_blocks: int = 4, ring_depth: int = 8,
+    ):
+        """Ready batch dicts for one epoch with SEQUENTIAL disk I/O and
+        REUSED host buffers.
+
+        Scattered per-row h5py reads are latency-bound (profiled: a random
+        256-row batch of image tokens costs seconds once the store outruns
+        the page cache), and per-window heap churn is just as bad on
+        overcommitted hosts where fresh large allocations fault in slowly.
+        So: `block_rows`-long ranges are `read_direct`-ed in random order
+        straight into ONE preallocated window buffer, `window_blocks` of
+        them pool into a constant-size shuffle window, and batches are
+        np.take-d into a `ring_depth`-deep ring of preallocated batch
+        buffers (deep enough that the prefetch pipeline never sees a slot
+        reused while in flight).  Every row appears exactly once per epoch,
+        randomness spans ~block_rows*window_blocks rows, disk access is
+        pure range reads, and steady-state host allocation is zero.
+        Remainders carry across windows; the final short batch pads by
+        repeating its last row with length 0 (masked out, like the
+        index-based loaders' -1 padding).
+        """
+        n = len(self)
+        rng = np.random.default_rng(seed)
+        starts = np.arange(0, n, block_rows)
+        if shuffle:
+            starts = rng.permutation(starts)
+        a = self.arrays
+        sources = {
+            "caption_ids": a.caption_ids,
+            "caption_mask": a.caption_mask,
+            "lengths": a.lengths,
+            "entity_features": a.entity_features,
+        }
+        if a.fact_features is not None:
+            sources["fact_features"] = a.fact_features
+        raw_images = False
+        if with_images:
+            if self._tokens is not None:
+                sources["image_tokens"] = self._tokens
+            else:
+                sources["images"] = self._images
+                raw_images = True
+        max_rows = block_rows * window_blocks + batch_size - 1
+        # buffers persist on the dataset across epochs (one live generator
+        # per dataset at a time): steady-state host allocation is zero,
+        # which matters on overcommitted hosts where fresh pages fault in
+        # slowly
+        bkey = (batch_size, with_images, block_rows, window_blocks,
+                ring_depth)
+        if getattr(self, "_epoch_buffers", None) is None:
+            self._epoch_buffers = {}
+        if bkey not in self._epoch_buffers:
+            buf = {
+                k: np.empty((max_rows,) + d.shape[1:],
+                            np.float32 if k == "image_tokens" else d.dtype)
+                for k, d in sources.items()
+            }
+            ring = [
+                {k: np.empty((batch_size,) + v.shape[1:], v.dtype)
+                 for k, v in buf.items()}
+                for _ in range(ring_depth)
+            ]
+            self._epoch_buffers[bkey] = (buf, ring)
+        buf, ring = self._epoch_buffers[bkey]
+        ring_i = 0
+
+        def finish(out, lengths_override=None):
+            final = dict(out)
+            if raw_images:
+                final["images"] = image_ops.normalize_for_model(
+                    final.pop("images")
+                )
+            if lengths_override is not None:
+                final["lengths"] = lengths_override
+            return final
+
+        carry_cnt = 0
+        for w in range(0, len(starts), window_blocks):
+            pos = carry_cnt
+            for s0 in starts[w : w + window_blocks]:
+                s0 = int(s0)
+                hi = int(min(s0 + block_rows, n))
+                cnt = hi - s0
+                for k, d in sources.items():
+                    d.read_direct(buf[k], np.s_[s0:hi], np.s_[pos:pos + cnt])
+                pos += cnt
+            m = pos
+            order = rng.permutation(m) if shuffle else np.arange(m)
+            n_full = m // batch_size
+            for i in range(n_full):
+                sel = order[i * batch_size : (i + 1) * batch_size]
+                out = ring[ring_i]
+                ring_i = (ring_i + 1) % ring_depth
+                for k, v in buf.items():
+                    np.take(v, sel, axis=0, out=out[k])
+                yield finish(out)
+            rest = order[n_full * batch_size :]
+            carry_cnt = len(rest)
+            if carry_cnt:
+                for k, v in buf.items():
+                    v[:carry_cnt] = v[rest]
+        if carry_cnt and pad_partial:
+            out = ring[ring_i]
+            for k, v in buf.items():
+                out[k][:carry_cnt] = v[:carry_cnt]
+                out[k][carry_cnt:] = v[carry_cnt - 1 : carry_cnt]
+            lengths = out["lengths"].copy()
+            lengths[carry_cnt:] = 0
+            yield finish(out, lengths_override=lengths)
 
     def batch(self, idx: np.ndarray, with_images: bool = True) -> Dict[str, np.ndarray]:
         a = self.arrays
@@ -198,14 +334,14 @@ def block_shuffled_indices(
     n: int, batch_size: int, shuffle: bool, seed: int = 0,
     pad_partial: bool = True, block: int = 1024, window_blocks: int = 16,
 ) -> Iterator[np.ndarray]:
-    """Epoch index batches with HDF5-friendly locality.
+    """Epoch index batches with read locality.
 
-    Full-uniform shuffling of an 800k-row chunked store degenerates into
-    one-chunk-per-row reads.  Instead: partition [0, n) into contiguous
+    Full-uniform shuffling of an 800k-row store turns every batch into
+    scattered single-row reads.  Instead: partition [0, n) into contiguous
     blocks, shuffle the block order, then shuffle rows within a sliding
     window of ``window_blocks`` blocks.  Every index appears exactly once
     per epoch; randomness spans ``block * window_blocks`` rows while disk
-    reads stay within ~``window_blocks`` distinct chunk neighborhoods per
+    reads stay within ~``window_blocks`` distinct row neighborhoods per
     batch."""
     if not shuffle:
         for start in range(0, n, batch_size):

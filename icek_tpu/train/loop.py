@@ -62,8 +62,8 @@ def run_epoch(
     start = time.time()
     n_batches = -(-len(data) // batch_size)
     batches = ds.prefetch(
-        data.index_batches(batch_size, shuffle=True, seed=epoch),
-        lambda idx: data.batch(idx),
+        data.epoch_batches(batch_size, shuffle=True, seed=epoch),
+        lambda b: b,  # batch assembly happens on the prefetch thread
     )
     fine_tune = enc_opt_state is not None
     for i, batch in enumerate(batches):
@@ -103,8 +103,8 @@ def run_validation(
     losses = Meter()
     n_batches = -(-len(data) // batch_size)
     batches = ds.prefetch(
-        data.index_batches(batch_size, shuffle=False),
-        lambda idx: data.batch(idx),
+        data.epoch_batches(batch_size, shuffle=False),
+        lambda b: b,
     )
     for i, batch in enumerate(batches):
         loss, count = eval_step(params, encoder_params, batch)
