@@ -58,7 +58,7 @@ def build_fixture(root, n, E=301, T=32, D=300):
     return base, tokens
 
 
-def measure(data, n, batch=256, epochs=3):
+def measure(data, batch=256, epochs=3):
     """First epoch includes cold disk + buffer warmup; steady state is the
     best later epoch (what a multi-epoch training run actually sees)."""
     per_epoch = []
@@ -88,9 +88,9 @@ def main():
 
         mem = ds.CaptionDataset(root, base, "TRAIN")
         mem.image_tokens = tokens
-        out = {"in_memory": measure(mem, n)}
+        out = {"in_memory": measure(mem)}
         stream = streaming.StreamingCaptionDataset(root, base, "TRAIN")
-        out["streaming"] = measure(stream, n)
+        out["streaming"] = measure(stream)
         for k, v in out.items():
             print(json.dumps({k: v}))
     finally:

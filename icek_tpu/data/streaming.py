@@ -174,26 +174,6 @@ class StreamingCaptionDataset:
             len(self), batch_size, shuffle, seed, pad_partial
         )
 
-    def _range_rows(self, lo: int, hi: int, with_images: bool = True):
-        """One contiguous row range, read as slices (fast h5py path)."""
-        a = self.arrays
-        out = {
-            "caption_ids": a.caption_ids[lo:hi],
-            "caption_mask": a.caption_mask[lo:hi],
-            "lengths": a.lengths[lo:hi],
-            "entity_features": a.entity_features[lo:hi],
-        }
-        if a.fact_features is not None:
-            out["fact_features"] = a.fact_features[lo:hi]
-        if with_images:
-            if self._tokens is not None:
-                out["image_tokens"] = self._tokens[lo:hi].astype(np.float32)
-            else:
-                out["images"] = image_ops.normalize_for_model(
-                    self._images[lo:hi]
-                )
-        return out
-
     def epoch_batches(
         self, batch_size: int, shuffle: bool, seed: int = 0,
         pad_partial: bool = True, with_images: bool = True,
