@@ -29,8 +29,15 @@ a tested, opt-in implementation for shapes/hardware where dispatch or
 compute, not stream efficiency, bounds the step.
 
 Semantics match decode/beam.py::_beam_decoder_step exactly (same masking,
-same ancestry slot-group attention, layer norm in f32): the oracle test
-(tests/test_kernels.py) checks beam parity against the stock XLA path.
+same ancestry slot-group attention, layer norm in f32) GIVEN the beam
+loop's invariant that ancestry[:, :, i] points at each hypothesis's own
+slot for the current step i — the kernel expresses the current-step
+attention as an explicit self term instead of reading the just-written
+cache rows through the selector.  The oracle test (tests/test_kernels.py)
+checks full beam parity against the stock XLA path under the interpreter;
+tests/test_tpu_smoke.py checks one decoder-stack step numerically on real
+hardware (full-decode token equality is reduction-order-sensitive on
+near-tie beam picks and is not asserted there).
 
 Mosaic notes (learned in kernels/flash_attention.py): f32 MXU dots
 silently round to bf16 unless precision=HIGHEST; reductions over sub-128
@@ -161,7 +168,11 @@ def _kernel(
         m = jnp.max(lg, axis=-1, keepdims=True)
         e = jnp.exp(lg - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)              # (K*H, 128)
-        w_slot = _mm(w, group_t_ref[...]) * selh                # (K*H, LK)
+        # the current step's weight goes to the explicit vn term, NOT the
+        # cache contraction — its cache rows are written only after this
+        # kernel returns (and must not contribute whatever they hold)
+        w_cache = jnp.where(col < i, w, 0.0)
+        w_slot = _mm(w_cache, group_t_ref[...]) * selh          # (K*H, LK)
         out_h = _mm(w_slot.astype(dt), cv_ref[l, 0])            # (K*H, D)
         w_self = jnp.sum(jnp.where(col == i, w, 0.0), axis=-1, keepdims=True)
         out_h = (out_h + w_self * vnh) * hmask

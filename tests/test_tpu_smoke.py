@@ -109,3 +109,114 @@ def test_flash_dropout_fwd_bwd_mask_consistency():
     lhs = float(jnp.sum(out * g))
     rhs = float(jnp.sum(v * dv))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_megakernel_step_matches_stock_on_hardware():
+    """The fused decoder-step megakernel under real Mosaic (not the
+    interpreter): ONE decoder-stack step numerically matches the stock XLA
+    step at realistic geo shapes.  Full-decode token equality is
+    deliberately not asserted — the kernel's self-logit uses a different
+    (documented) reduction order, and on a random-init model near-tie beam
+    picks flip on few-ULP differences; step-level closeness is what rules
+    out a hardware miscompile (the interpret-mode oracle cannot)."""
+    import dataclasses
+
+    from icek_tpu.kernels import decoder_step as dsk
+
+    cfg = dataclasses.replace(
+        config_lib.georic().model,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    )
+    V, E, B, K, L = 500, 301, 8, 5, 12
+    D, H = cfg.emb_dim, cfg.num_heads
+    params = captioner.init_captioner_params(jax.random.PRNGKey(2), cfg, V)
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.standard_normal((B, 196, D)).astype(np.float32))
+    ents = np.zeros((B, E, 5), np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 1:4] = rng.uniform(0, 1, (B, E, 3))
+    ents[:, :, 4] = rng.integers(0, 900, (B, E))
+    ctx = greedy_lib.prepare_decode_context(
+        params, cfg, tokens, jnp.asarray(ents)
+    )
+    # mid-decode state with non-trivial caches and mixed ancestry
+    i = 3
+    x = jnp.asarray(rng.standard_normal((B, K, D)).astype(np.float32))
+    caches = [
+        {"k": jnp.asarray(rng.standard_normal((B, L * K, D)).astype(np.float32)),
+         "v": jnp.asarray(rng.standard_normal((B, L * K, D)).astype(np.float32))}
+        for _ in range(cfg.num_layers)
+    ]
+    anc = rng.integers(0, K, (B, K, L)).astype(np.int32)
+    # the beam loop always points ancestry at the hypothesis's OWN slot for
+    # the current step before the decoder runs (beam.py step()); the kernel
+    # relies on that invariant via its explicit self term
+    anc[:, :, i] = np.arange(K)[None, :]
+    anc = jnp.asarray(anc)
+    head_mask = beam_lib._head_mask(H, D // H)
+    group = beam_lib._group_matrix(L, K)
+    want_h, want_caches = beam_lib._beam_decoder_step(
+        params["decoder"], x, caches, anc, i, ctx.cross_kvs, H,
+        head_mask, group, jnp.float32,
+    )
+    stacked = dsk.stack_decoder_params(params["decoder"], H, K, L)
+    ck = jnp.stack([c["k"] for c in caches])
+    cv = jnp.stack([c["v"] for c in caches])
+    xk, xv, mem_len = dsk.pad_cross_kv(ctx.cross_kvs, jnp.float32)
+    sel = jax.nn.one_hot(anc, K, dtype=jnp.float32).reshape(B, K, L * K)
+    got_h, k_new, v_new = dsk.fused_beam_decoder_step(
+        stacked, x, sel, ck, cv, xk, xv, i,
+        num_heads=H, head_dim=D // H, mem_len=mem_len,
+    )
+    # tolerance separates a miscompile (the double-count bug this test
+    # caught measured 1.3 max) from hardware f32 arithmetic differences
+    # through three layer-norm amplifications (measured 0.017 max)
+    np.testing.assert_allclose(
+        np.asarray(got_h), np.asarray(want_h), atol=0.05
+    )
+    # the stock path wrote this step's K/V into rows i*K..i*K+K-1.
+    # Layer 0's projection sees identical inputs, but the STOCK path's
+    # default-precision f32 matmuls round operands to bf16 on TPU
+    # (~0.6% rel; CLAUDE.md perf facts) while the kernel dots run at
+    # precision=HIGHEST — the measured 0.0066 delta is the stock path's
+    # rounding, so the bound is bf16-scale.  Later layers add h drift.
+    for l in range(cfg.num_layers):
+        np.testing.assert_allclose(
+            np.asarray(k_new[l]),
+            np.asarray(want_caches[l]["k"][:, i * K : (i + 1) * K]),
+            atol=0.02 if l == 0 else 0.05,
+        )
+
+
+def test_int8_kv_bounded_on_hardware():
+    """int8 KV decode on the real chip at realistic context sizes: an
+    opt-in LOSSY mode, so assert sanity bounds, not parity — valid token
+    ids, majority agreement with the f32 path on a random-init model
+    (trained models agree far more), and bounded score drift."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        config_lib.georic().model,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    )
+    V, E, B, L = 500, 301, 8, 12
+    params = captioner.init_captioner_params(jax.random.PRNGKey(3), cfg, V)
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.standard_normal((B, 196, 300)).astype(np.float32))
+    ents = np.zeros((B, E, 5), np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 1:4] = rng.uniform(0, 1, (B, E, 3))
+    ents[:, :, 4] = rng.integers(0, 900, (B, E))
+    ctx = greedy_lib.prepare_decode_context(
+        params, cfg, tokens, jnp.asarray(ents)
+    )
+    args = (params, cfg, V, E, V - 2, V - 1, 0, ctx, L)
+    ft, fs = beam_lib.beam_decode(*args, beam_size=5)
+    qt, qs = beam_lib.beam_decode(*args, beam_size=5, kv_dtype="int8")
+    qt = np.asarray(qt)
+    assert ((qt >= 0) & (qt < V + E)).all()
+    np.testing.assert_allclose(np.asarray(qs), np.asarray(fs), atol=0.3)
+    # a random-init model's logits are near-uniform over V+E=801 candidates,
+    # so ANY perturbation flips many near-tie picks (measured ~55% agreement
+    # here); far-above-chance agreement is the meaningful bound
+    assert (qt == np.asarray(ft)).mean() >= 0.4
