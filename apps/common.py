@@ -79,8 +79,32 @@ def run_train(preset: str, argv=None):
     p.add_argument("--streaming", action="store_true",
                    help="stream batches from the HDF5 sidecar store "
                         "(constant host memory; NYTimes800k scale)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the multi-process (multi-host) runtime "
+                        "before anything touches the backend; topology from "
+                        "ICEK_COORDINATOR/ICEK_NUM_PROCESSES/ICEK_PROCESS_ID "
+                        "or jax auto-detection (Cloud TPU pods need nothing)")
+    p.add_argument("--mesh", default=None, metavar="DATA,MODEL",
+                   help="train SPMD over a (data, model) device mesh, e.g. "
+                        "'4,2'; 'auto' = all devices on the data axis. "
+                        "Implied (auto) by --distributed.")
     args = p.parse_args(argv)
     import dataclasses
+
+    mesh = None
+    if args.distributed or args.mesh:
+        # must precede every other jax call (the loop below compiles steps)
+        from icek_tpu.parallel import distributed
+        from icek_tpu.parallel import mesh as mesh_lib
+
+        if args.distributed:
+            info = distributed.maybe_initialize()
+            print(f"distributed: process {info.index}/{info.count}")
+        if args.mesh and args.mesh != "auto":
+            data_ax, model_ax = (int(x) for x in args.mesh.split(","))
+            mesh = mesh_lib.make_mesh(data=data_ax, model=model_ax)
+        else:
+            mesh = mesh_lib.make_mesh()
 
     from icek_tpu.train import loop as train_loop
     from icek_tpu.train.embeddings import load_glove_embeddings
@@ -97,6 +121,7 @@ def run_train(preset: str, argv=None):
         pretrained_embeddings=pretrained,
         resume_from=args.resume,
         max_epochs=args.epochs,
+        mesh=mesh,
     )
 
 
@@ -108,7 +133,9 @@ def run_eval(preset: str, argv=None):
     p.add_argument("--reference-dir", default=None,
                    help="reference subproject dir (for unpickling the "
                         "classes inside a .pth.tar checkpoint)")
-    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="decode batch size (default: the flagship "
+                        "configuration — 256 on TPU, 64 on CPU)")
     p.add_argument("--beam", type=int, default=None,
                    help="beam size (default: preset; 1 = greedy)")
     p.add_argument("--metric-data", default="data",

@@ -119,7 +119,10 @@ def main():
         int(np.asarray(pipeline(images))[0, 0])
         times.append(time.perf_counter() - t0)
     best = min(times)
+    median = sorted(times)[len(times) // 2]
     caps_per_sec = BATCH / best
+    # times/median ride along so cross-round drift is attributable to
+    # tunnel/session conditions vs a real regression (headline stays best-of).
     print(
         json.dumps(
             {
@@ -130,6 +133,8 @@ def main():
                 "value": round(caps_per_sec, 2),
                 "unit": "captions/sec",
                 "vs_baseline": round(caps_per_sec / REFERENCE_CPU_CAPS_PER_SEC, 2),
+                "median": round(BATCH / median, 2),
+                "times_ms": [round(t * 1e3, 2) for t in times],
             }
         )
     )

@@ -119,6 +119,13 @@ class TrainConfig:
     seed: int = 0
     # TPU-native additions
     compute_dtype: str = "bfloat16"  # matmul dtype inside the model
+    # Hardware-PRNG dropout for the residual/positional/FFN dropouts of the
+    # train step: the step's rng is rekeyed to the 'rbg' implementation, so
+    # masks come from the XLA RngBitGenerator instruction instead of
+    # ~100 VPU ops/element of threefry (the same cost class the flash
+    # attention kernel eliminated for attention-weight dropout).  None =
+    # auto: on for TPU backends, off on CPU.
+    use_rbg_dropout: Optional[bool] = None
     data_axis: str = "data"          # mesh axis for batch sharding
     model_axis: str = "model"        # mesh axis for vocab/embedding sharding
 
@@ -133,7 +140,12 @@ class DecodeConfig:
     # (geo-aware/models.py:412).  The eval CLI with no flags therefore runs
     # the benchmarked configuration.
     beam_size: int = 5
-    batch_size: int = 1              # reference uses 1; we support batched decode
+    # Decode batch size.  None = flagship default by backend: 256 on TPU
+    # (the configuration every headline benchmark measures — bench.py,
+    # BASELINE.md), 64 on CPU.  The reference only supports batch 1
+    # (geo-aware/eval.py:57-68); a no-flag eval run here IS the
+    # benchmarked configuration.
+    batch_size: Optional[int] = None
     # Fused decoder-step Pallas megakernel (kernels/decoder_step.py);
     # None = beam_decode's measured default.
     use_megakernel: Optional[bool] = None

@@ -93,17 +93,30 @@ class CaptionDataset:
         self.image_tokens = np.concatenate(chunks, axis=0)
 
     def index_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
-                      pad_partial: bool = True) -> Iterator[np.ndarray]:
+                      pad_partial: bool = True, process_index: int = 0,
+                      process_count: int = 1) -> Iterator[np.ndarray]:
         """Epoch index batches (uniform shuffle; the streaming dataset
-        overrides this with a read-local shuffle)."""
-        return batch_indices(len(self), batch_size, shuffle, seed, pad_partial)
+        overrides this with a read-local shuffle).
+
+        With ``process_count > 1`` (multi-host), every process generates the
+        SAME global batch stream (seeded identically) and yields only its
+        ``batch_size // process_count``-row slice of each batch — the union
+        across processes is exactly the single-process epoch, and
+        ``parallel/mesh.py::global_batch`` reassembles each global batch
+        from the per-process slices."""
+        batches = batch_indices(len(self), batch_size, shuffle, seed, pad_partial)
+        return process_local_slices(batches, process_index, process_count)
 
     def epoch_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
-                      pad_partial: bool = True, with_images: bool = True):
+                      pad_partial: bool = True, with_images: bool = True,
+                      process_index: int = 0, process_count: int = 1):
         """Ready batch dicts for one epoch (the uniform interface the train
         loop consumes; the streaming dataset implements it with sequential
-        range reads + a windowed shuffle)."""
-        for idx in self.index_batches(batch_size, shuffle, seed, pad_partial):
+        range reads + a windowed shuffle).  ``batch_size`` is the GLOBAL
+        batch size; with ``process_count > 1`` each dict holds this
+        process's ``batch_size // process_count`` rows of it."""
+        for idx in self.index_batches(batch_size, shuffle, seed, pad_partial,
+                                      process_index, process_count):
             yield self.batch(idx, with_images=with_images)
 
     def batch(self, idx: np.ndarray, with_images: bool = True) -> Dict[str, np.ndarray]:
@@ -139,6 +152,31 @@ def batch_indices(
                 return
             idx = np.concatenate([idx, np.full(batch_size - len(idx), -1)])
         yield idx
+
+
+def process_local_slices(batches: Iterator[np.ndarray], process_index: int,
+                         process_count: int) -> Iterator[np.ndarray]:
+    """This process's rows of each global index batch.
+
+    All processes iterate the identical (identically-seeded) global stream;
+    process p keeps rows [p*B/P, (p+1)*B/P) of every batch.  Union over p ==
+    the global stream, and the slices concatenate back in process order —
+    the layout ``jax.make_array_from_process_local_data`` expects when the
+    mesh's data axis enumerates devices in process order (the
+    ``jax.devices()`` default)."""
+    if process_count == 1:
+        yield from batches
+        return
+    if not 0 <= process_index < process_count:
+        raise ValueError(f"process_index {process_index} not in [0, {process_count})")
+    for idx in batches:
+        if len(idx) % process_count:
+            raise ValueError(
+                f"global batch size {len(idx)} is not divisible by "
+                f"process count {process_count}"
+            )
+        local = len(idx) // process_count
+        yield idx[process_index * local : (process_index + 1) * local]
 
 
 def prefetch(iterator, put_fn, depth: int = 2):

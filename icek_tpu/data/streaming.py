@@ -169,18 +169,42 @@ class StreamingCaptionDataset:
         self._tokens = self._token_file["image_tokens"]
 
     def index_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
-                      pad_partial: bool = True) -> Iterator[np.ndarray]:
-        return block_shuffled_indices(
+                      pad_partial: bool = True, process_index: int = 0,
+                      process_count: int = 1) -> Iterator[np.ndarray]:
+        from icek_tpu.data.dataset import process_local_slices
+
+        batches = block_shuffled_indices(
             len(self), batch_size, shuffle, seed, pad_partial
         )
+        return process_local_slices(batches, process_index, process_count)
 
     def epoch_batches(
         self, batch_size: int, shuffle: bool, seed: int = 0,
         pad_partial: bool = True, with_images: bool = True,
         block_rows: int = 512, window_blocks: int = 4, ring_depth: int = 8,
+        copy: bool = False, process_index: int = 0, process_count: int = 1,
     ):
         """Ready batch dicts for one epoch with SEQUENTIAL disk I/O and
         REUSED host buffers.
+
+        ALIASING CONTRACT: with ``copy=False`` (the default), each yielded
+        dict holds views into a ``ring_depth``-deep ring of reused buffers —
+        a slot is overwritten ``ring_depth`` batches later.  That is safe for
+        the training loop (depth-2 prefetch + a per-step ``float(loss)``
+        sync keep the consumer well within the ring), but any consumer that
+        RETAINS yielded dicts (``list(epoch_batches(...))``, accumulation
+        across > ring_depth-2 batches) must pass ``copy=True`` to get
+        independent arrays.
+
+        MULTI-PROCESS: ``batch_size`` is the GLOBAL batch size.  With
+        ``process_count > 1`` the shuffled block order (identical on every
+        process — same seed) is dealt round-robin across processes, so each
+        process range-reads ONLY its own blocks (no I/O amplification,
+        unlike slicing a shared stream) and yields
+        ``batch_size // process_count``-row local batches.  The union of
+        per-process row streams is exactly one epoch, and every process
+        yields the SAME number of batches (trailing all-padding batches
+        with length 0 keep slower shards in lockstep — required for SPMD).
 
         Scattered per-row h5py reads are latency-bound (profiled: a random
         256-row batch of image tokens costs seconds once the store outruns
@@ -203,6 +227,26 @@ class StreamingCaptionDataset:
         starts = np.arange(0, n, block_rows)
         if shuffle:
             starts = rng.permutation(starts)
+        n_steps = None
+        if process_count > 1:
+            if not pad_partial:
+                raise ValueError(
+                    "pad_partial=False would desynchronize SPMD processes"
+                )
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch size {batch_size} is not divisible by "
+                    f"process count {process_count}"
+                )
+            batch_size //= process_count  # local rows per yielded batch
+            block_len = lambda s: min(int(s) + block_rows, n) - int(s)
+            # every process can compute every shard's row count from the
+            # (shared) shuffled block order -> a globally agreed step count
+            n_steps = max(
+                -(-sum(map(block_len, starts[q::process_count])) // batch_size)
+                for q in range(process_count)
+            )
+            starts = starts[process_index::process_count]
         a = self.arrays
         sources = {
             "caption_ids": a.caption_ids,
@@ -251,9 +295,12 @@ class StreamingCaptionDataset:
                 )
             if lengths_override is not None:
                 final["lengths"] = lengths_override
+            if copy:
+                final = {k: np.copy(v) for k, v in final.items()}
             return final
 
         carry_cnt = 0
+        yielded = 0
         for w in range(0, len(starts), window_blocks):
             pos = carry_cnt
             for s0 in starts[w : w + window_blocks]:
@@ -272,6 +319,7 @@ class StreamingCaptionDataset:
                 ring_i = (ring_i + 1) % ring_depth
                 for k, v in buf.items():
                     np.take(v, sel, axis=0, out=out[k])
+                yielded += 1
                 yield finish(out)
             rest = order[n_full * batch_size :]
             carry_cnt = len(rest)
@@ -280,12 +328,24 @@ class StreamingCaptionDataset:
                     v[:carry_cnt] = v[rest]
         if carry_cnt and pad_partial:
             out = ring[ring_i]
+            ring_i = (ring_i + 1) % ring_depth
             for k, v in buf.items():
                 out[k][:carry_cnt] = v[:carry_cnt]
                 out[k][carry_cnt:] = v[carry_cnt - 1 : carry_cnt]
             lengths = out["lengths"].copy()
             lengths[carry_cnt:] = 0
+            yielded += 1
             yield finish(out, lengths_override=lengths)
+        # SPMD lockstep: shards whose block share ran short emit all-padding
+        # batches (length 0, masked out) until every process has yielded the
+        # globally agreed step count.
+        while n_steps is not None and yielded < n_steps:
+            out = ring[ring_i]
+            ring_i = (ring_i + 1) % ring_depth
+            for k, v in out.items():
+                v[:] = 0
+            yielded += 1
+            yield finish(out)
 
     def batch(self, idx: np.ndarray, with_images: bool = True) -> Dict[str, np.ndarray]:
         a = self.arrays

@@ -33,6 +33,19 @@ from icek_tpu.decode import greedy as greedy_lib
 from icek_tpu.models import resnet
 
 
+def resolve_eval_batch_size(batch_size: Optional[int], cfg: Config) -> int:
+    """Explicit arg > preset value > flagship default by backend.
+
+    A no-flag eval run must be the benchmarked flagship configuration
+    (batch 256, beam 5 on TPU — BASELINE.md); CPU defaults to 64 so the
+    test-suite shapes stay small."""
+    if batch_size is not None:
+        return batch_size
+    if cfg.decode.batch_size is not None:
+        return cfg.decode.batch_size
+    return 64 if jax.default_backend() == "cpu" else 256
+
+
 def _pad_batch(idx: np.ndarray, batch_size: int) -> np.ndarray:
     if len(idx) < batch_size:
         return np.concatenate([idx, np.full(batch_size - len(idx), idx[-1])])
@@ -46,7 +59,7 @@ class Evaluator:
         wordmap: Wordmap,
         params,
         encoder_params,
-        batch_size: int = 64,
+        batch_size: Optional[int] = None,
         beam_size: Optional[int] = None,
         compute_dtype=None,
     ):
@@ -54,7 +67,7 @@ class Evaluator:
         self.wordmap = wordmap
         self.params = params
         self.encoder_params = encoder_params
-        self.batch_size = batch_size
+        self.batch_size = resolve_eval_batch_size(batch_size, cfg)
         self.beam_size = beam_size if beam_size is not None else cfg.decode.beam_size
         if compute_dtype is None:
             compute_dtype = (

@@ -30,9 +30,11 @@ full (Tq, Tk) tile per (b, h) fits VMEM comfortably — no online-softmax
 streaming needed.
 
 On CPU the kernel runs under the Mosaic interpreter (pltpu.InterpretParams),
-where prng_random_bits returns zeros; `keep = u < 1-rate` then keeps every
-weight, so CPU tests exercise the deterministic path only.  Dropout
-statistics and fwd/bwd mask-consistency tests are TPU-gated
+where prng_random_bits returns zeros — every weight would be kept but still
+scaled by 1/(1-rate), silently inflating attention outputs.  The entry
+points therefore REJECT dropout_rate > 0 under the interpreter
+(ValueError); CPU tests exercise the deterministic path only, and dropout
+statistics / fwd-bwd mask-consistency tests are TPU-gated
 (tests/test_tpu_smoke.py).
 """
 
@@ -55,7 +57,6 @@ LANE = 128
 
 class _Static(NamedTuple):
     causal: bool
-    q_len: int        # true query length (rows beyond it are padding)
     kv_len: int       # true key/value length (cols beyond it are masked)
     head_dim: int     # true head dim (sets the softmax scale)
     rate: float       # attention-weight dropout rate
@@ -275,7 +276,6 @@ def flash_mha_packed(
     v: jnp.ndarray,                  # (B, Tk, H*head_slot) packed
     *,
     head_dim: int,
-    q_len: Optional[int] = None,     # true Tq (rows beyond are padding)
     kv_len: Optional[int] = None,    # true Tk (cols beyond are masked)
     causal: bool = False,
     dropout_rate: float = 0.0,
@@ -283,13 +283,21 @@ def flash_mha_packed(
     interpret: Optional[bool] = None,
 ):
     """Fused attention over head-slot-packed tensors; returns the packed
-    (B, Tq_pad, H*head_slot) output (pad lanes and pad rows are zero/garbage
-    and fall out of the packed out-projection)."""
+    (B, Tq, H*head_slot) output.  Query pad rows are NOT masked: their
+    output rows are garbage that the caller must slice away (the packed
+    out-projection + slice in models/transformer.py does), while key pad
+    cols beyond `kv_len` ARE masked (they would corrupt real rows)."""
     B, Tq, HL = q.shape
     Tk = k.shape[1]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    q_len = Tq if q_len is None else q_len
+    if interpret and dropout_rate > 0.0:
+        raise ValueError(
+            "flash attention with dropout_rate > 0 is unsupported under the "
+            "Mosaic interpreter (CPU): interpreted prng_random_bits returns "
+            "zeros, which would keep every weight yet still scale by "
+            "1/(1-rate). Run deterministic, or on real TPU hardware."
+        )
     kv_len = Tk if kv_len is None else kv_len
     sub = 16  # sublane multiple covering both float32 and bfloat16 tiles
     tq_p, tk_p = _round_up(Tq, sub), _round_up(Tk, sub)
@@ -298,7 +306,7 @@ def flash_mha_packed(
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     st = _Static(
-        causal=causal, q_len=q_len, kv_len=kv_len, head_dim=head_dim,
+        causal=causal, kv_len=kv_len, head_dim=head_dim,
         rate=float(dropout_rate), interpret=bool(interpret),
     )
     out = _flash(st, q, k, v, seed.astype(jnp.int32))

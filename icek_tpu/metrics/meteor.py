@@ -5,17 +5,29 @@ The coco-caption METEOR the reference relies on
 full METEOR 1.5 model (synonyms/paraphrase tables).  This implementation
 covers the exact-, stem-, and synonym-match stages with the standard
 METEOR parameters (alpha=0.9, beta=3.0, gamma=0.5), which reproduces the
-Java scorer closely on caption-style text.  The synonym stage uses nltk
-WordNet when its corpus data is installed (it is not baked into this
-image, so by default the stage degrades to a no-op); tests inject a
-synonym table via the ``synonyms`` argument.  METEOR 1.5's
-paraphrase-table stage has no open data source and remains approximated
-(documented delta vs the Java scorer).
+Java scorer closely on caption-style text.
+
+Synonym-stage data sources, in resolution order (``resolve_synonyms``):
+  1. a vendored WordNet lemma table at
+     ``icek_tpu/metrics/data/wordnet_lemmas.json.gz`` — build it once with
+     ``python tools/build_wordnet_lemmas.py`` on a machine with network
+     access (WordNet's license permits redistribution with notice);
+  2. the nltk WordNet corpus, when installed;
+  3. otherwise the stage is DISABLED — a warning is emitted the first time
+     a score is computed so numbers are never silently non-comparable
+     across environments, and ``synonym_stage()`` reports the active
+     source for metric metadata.
+METEOR 1.5's paraphrase-table stage has no open data source and remains
+approximated (documented delta vs the Java scorer).
 """
 
 from __future__ import annotations
 
-from typing import Callable, FrozenSet, List, Optional, Sequence, Tuple
+import gzip
+import json
+import os
+import warnings
+from typing import Callable, Dict, FrozenSet, List, Optional, Sequence, Tuple
 
 ALPHA = 0.9
 BETA = 3.0
@@ -23,9 +35,32 @@ GAMMA = 0.5
 
 SynonymFn = Callable[[str], FrozenSet[str]]
 
+VENDORED_LEMMAS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "wordnet_lemmas.json.gz"
+)
+
+
+def _vendored_synonyms() -> Optional[SynonymFn]:
+    """Lookup over the vendored lemma table, or None when not built."""
+    if not os.path.exists(VENDORED_LEMMAS):
+        return None
+    with gzip.open(VENDORED_LEMMAS, "rt") as f:
+        table: Dict[str, List[str]] = json.load(f)
+    empty = frozenset()
+    cache: Dict[str, FrozenSet[str]] = {}
+
+    def lookup(word: str) -> FrozenSet[str]:
+        got = cache.get(word)
+        if got is None:
+            raw = table.get(word)
+            got = cache[word] = frozenset(raw) if raw else empty
+        return got
+
+    return lookup
+
 
 def _wordnet_synonyms() -> Optional[SynonymFn]:
-    """WordNet-backed synonym lookup, or None when corpus data is absent."""
+    """nltk-WordNet-backed synonym lookup, or None when corpus data is absent."""
     try:
         from nltk.corpus import wordnet
 
@@ -43,7 +78,42 @@ def _wordnet_synonyms() -> Optional[SynonymFn]:
     return lookup
 
 
-_DEFAULT_SYNONYMS = _wordnet_synonyms()
+# (stage_name, SynonymFn or None); resolved lazily on first score so the
+# environment is probed when scoring actually happens.
+_RESOLVED: Optional[Tuple[str, Optional[SynonymFn]]] = None
+
+
+def resolve_synonyms() -> Tuple[str, Optional[SynonymFn]]:
+    """Resolve (and cache) the synonym source: vendored table, then nltk
+    WordNet, else disabled with a one-time loud warning."""
+    global _RESOLVED
+    if _RESOLVED is not None:
+        return _RESOLVED
+    fn = _vendored_synonyms()
+    if fn is not None:
+        _RESOLVED = ("vendored-wordnet", fn)
+        return _RESOLVED
+    fn = _wordnet_synonyms()
+    if fn is not None:
+        _RESOLVED = ("nltk-wordnet", fn)
+        return _RESOLVED
+    warnings.warn(
+        "METEOR synonym stage DISABLED: no WordNet data found (neither the "
+        f"vendored table {VENDORED_LEMMAS} nor the nltk corpus). Scores use "
+        "exact+stem matching only and are NOT comparable with "
+        "synonym-enabled environments. Build the table once with "
+        "`python tools/build_wordnet_lemmas.py` (needs network).",
+        stacklevel=2,
+    )
+    _RESOLVED = ("disabled", None)
+    return _RESOLVED
+
+
+def synonym_stage() -> str:
+    """Name of the active synonym source ('vendored-wordnet' /
+    'nltk-wordnet' / 'disabled') — recorded alongside reported scores so
+    METEOR numbers are attributable to their match stages."""
+    return resolve_synonyms()[0]
 
 try:
     from nltk.stem.porter import PorterStemmer
@@ -114,7 +184,7 @@ def meteor_sentence(
     refs: Sequence[str], cand: str, synonyms: Optional[SynonymFn] = None
 ) -> float:
     if synonyms is None:
-        synonyms = _DEFAULT_SYNONYMS
+        synonyms = resolve_synonyms()[1]
     cand_tokens = cand.split()
     best = 0.0
     for ref in refs:

@@ -52,4 +52,9 @@ def score_captions(
     log("\nMetric scores:\n")
     for name, value in corpus.items():
         log("%s score is %.4f." % (name, value))
+    # METEOR numbers are only comparable across environments with the same
+    # match stages — record the active synonym source with the output.
+    from icek_tpu.metrics.meteor import synonym_stage
+
+    log("(METEOR synonym stage: %s)" % synonym_stage())
     return corpus

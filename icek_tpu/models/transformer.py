@@ -121,6 +121,18 @@ def multi_head_attention(
         # directly — no transpose/pad/slice passes on the activations.
         from icek_tpu.kernels import flash_attention as fa
 
+        if attn_mask is not None and not causal:
+            raise ValueError(
+                "the flash path only supports causal masking via `causal`; "
+                "an explicit attn_mask would be silently dropped"
+            )
+        if dropout_rate > 0.0 and not deterministic and dropout_key is None:
+            # match the stock path's failure mode (bernoulli(None) raises)
+            # instead of silently reusing a constant zero seed every step
+            raise ValueError(
+                "dropout_key is required when dropout_rate > 0 and "
+                "deterministic=False"
+            )
         Tk = kv_in.shape[1]
         sub = 16
         tq_p, tk_p = -(-Tq // sub) * sub, -(-Tk // sub) * sub
@@ -143,7 +155,7 @@ def multi_head_attention(
                 dropout_key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
         outp = fa.flash_mha_packed(
-            qp, kp, vp, head_dim=Hd, q_len=Tq, kv_len=Tk, causal=causal,
+            qp, kp, vp, head_dim=Hd, kv_len=Tk, causal=causal,
             dropout_rate=rate, seed=seed,
         )
         wo = fa.pack_rows(params["out"]["w"].astype(compute_dtype), H)

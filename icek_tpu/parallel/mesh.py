@@ -49,19 +49,31 @@ def _spec_for_path(path) -> P:
     return P()
 
 
-def param_specs(params) -> dict:
-    """PartitionSpec tree (same structure as params)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, _: _spec_for_path(path), params
-    )
+def _fits(spec: P, shape, mesh: Mesh) -> bool:
+    """True when every sharded dim divides evenly by its mesh axis size."""
+    for dim, axis in enumerate(spec):
+        if axis is not None and shape[dim] % mesh.shape[axis]:
+            return False
+    return True
+
+
+def param_specs(params, mesh: Optional[Mesh] = None) -> dict:
+    """PartitionSpec tree (same structure as params).  With a mesh, specs
+    whose sharded dims don't divide by the axis size (e.g. tiny test
+    vocabularies) fall back to replication."""
+    def spec(path, x):
+        s = _spec_for_path(path)
+        if mesh is not None and not _fits(s, np.shape(x), mesh):
+            return P()
+        return s
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def shard_params(params, mesh: Mesh):
-    return jax.tree_util.tree_map_with_path(
-        lambda path, x: jax.device_put(
-            x, NamedSharding(mesh, _spec_for_path(path))
-        ),
-        params,
+    specs = param_specs(params, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
 
 
@@ -75,5 +87,55 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
+    """Single-process path: device_put each leaf with batch sharding."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def global_batch(local_batch, mesh: Mesh):
+    """Assemble this process's local batch rows into globally sharded
+    arrays — the multi-host data path.
+
+    Each process's loader yields the rows owned by its addressable devices
+    (``data/dataset.py::process_local_slices`` /
+    ``data/streaming.py::epoch_batches`` with process args);
+    ``jax.make_array_from_process_local_data`` stitches the per-process
+    shards into one global jax.Array per leaf.  Single-process meshes fall
+    back to a plain sharded device_put (identical result, no collective
+    metadata needed)."""
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh)
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        local_batch,
+    )
+
+
+def gather_for_host(tree, mesh: Mesh):
+    """All-gather a (possibly sharded) tree to fully-replicated arrays so
+    every process holds addressable full copies — multi-host checkpoint
+    saving.  A collective: EVERY process must call it, even if only the
+    primary writes the result."""
+    target = NamedSharding(mesh, P())
+    return jax.jit(lambda t: t, out_shardings=target)(tree)
+
+
+def global_batch_from_shards(shards, mesh: Mesh):
+    """Simulated multi-host assembly (tests / dryrun): ``shards[p]`` is the
+    local batch "process" p's loader produced.  Builds, on the
+    single-process virtual mesh, the same global jax.Array the real
+    multi-process path (``global_batch``) produces — each simulated
+    process's rows are placed on exactly the devices that process would
+    own, via ``jax.make_array_from_single_device_arrays``."""
+    sharding = batch_sharding(mesh)
+
+    def leaf(*parts):
+        full = np.concatenate([np.asarray(p) for p in parts], axis=0)
+        idx_map = sharding.addressable_devices_indices_map(full.shape)
+        arrs = [jax.device_put(full[idx], d) for d, idx in idx_map.items()]
+        return jax.make_array_from_single_device_arrays(
+            full.shape, sharding, arrs
+        )
+
+    return jax.tree.map(lambda *xs: leaf(*xs), *shards)

@@ -52,18 +52,35 @@ class TrainResult:
     encoder_params: dict
 
 
+def _batch_assembler(mesh):
+    """Prefetch-thread transform: local numpy rows -> (global) device batch.
+
+    With a mesh, each process's local loader shard is assembled into global
+    sharded jax.Arrays (parallel/mesh.py::global_batch) on the prefetch
+    thread, overlapping the device puts with the running step."""
+    if mesh is None:
+        return lambda b: b
+    from icek_tpu.parallel import mesh as mesh_lib
+
+    return lambda b: mesh_lib.global_batch(b, mesh)
+
+
 def run_epoch(
     train_step, params, opt_state, encoder_params, data: ds.CaptionDataset,
     batch_size: int, rng_key, epoch: int, print_freq: int = 100,
     log: Callable[[str], None] = print, enc_opt_state=None,
-    bn_train_mode: bool = False,
+    bn_train_mode: bool = False, mesh=None,
 ):
     batch_time, data_time, losses = Meter(), Meter(), Meter()
     start = time.time()
     n_batches = -(-len(data) // batch_size)
     batches = ds.prefetch(
-        data.epoch_batches(batch_size, shuffle=True, seed=epoch),
-        lambda b: b,  # batch assembly happens on the prefetch thread
+        data.epoch_batches(
+            batch_size, shuffle=True, seed=epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        ),
+        _batch_assembler(mesh),
     )
     fine_tune = enc_opt_state is not None
     for i, batch in enumerate(batches):
@@ -99,12 +116,17 @@ def run_epoch(
 def run_validation(
     eval_step, params, encoder_params, data: ds.CaptionDataset,
     batch_size: int, print_freq: int = 100, log: Callable[[str], None] = print,
+    mesh=None,
 ):
     losses = Meter()
     n_batches = -(-len(data) // batch_size)
     batches = ds.prefetch(
-        data.epoch_batches(batch_size, shuffle=False),
-        lambda b: b,
+        data.epoch_batches(
+            batch_size, shuffle=False,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        ),
+        _batch_assembler(mesh),
     )
     for i, batch in enumerate(batches):
         loss, count = eval_step(params, encoder_params, batch)
@@ -124,8 +146,16 @@ def train(
     resume_from: Optional[str] = None,
     max_epochs: Optional[int] = None,
     log: Callable[[str], None] = print,
+    mesh=None,
 ) -> TrainResult:
-    """Full training run for one preset; returns the best params."""
+    """Full training run for one preset; returns the best params.
+
+    With ``mesh`` (a jax.sharding.Mesh), the run is SPMD over all mesh
+    devices: params shard per parallel/mesh.py policy, every process loads
+    a disjoint shard of each global batch (tc.batch_size is GLOBAL), and
+    batches are assembled into global arrays on the prefetch thread.
+    Multi-host runs must call parallel.distributed.maybe_initialize()
+    before anything else (the apps/ train CLIs do)."""
     tc = cfg.train
     has_facts = cfg.model.has_facts
     if cfg.data.streaming:
@@ -148,7 +178,15 @@ def train(
         params["word_embedding"] = jnp.asarray(pretrained_embeddings)
     encoder_params = resnet.init_resnet101(k_enc, cfg.model.emb_dim)
 
+    mesh_lib = None
+    if mesh is not None:
+        from icek_tpu.parallel import mesh as mesh_lib
+
+        params = mesh_lib.shard_params(params, mesh)
+        encoder_params = mesh_lib.replicate(encoder_params, mesh)
+
     optimizer = step_lib.make_optimizer(tc.decoder_lr, tc.grad_clip)
+    # after shard_params: Adam's mu/nu (zeros_like) inherit the shardings
     opt_state = optimizer.init(params)
 
     start_epoch, stale, best_loss = 0, 0, float("inf")
@@ -158,6 +196,16 @@ def train(
             opt_state = restored_opt
         if enc is not None:
             encoder_params = enc
+        if mesh is not None:
+            # checkpoints restore as host/single-device arrays — re-shard
+            params = mesh_lib.shard_params(params, mesh)
+            encoder_params = mesh_lib.replicate(encoder_params, mesh)
+            if restored_opt is not None:
+                ref = optimizer.init(params)
+                opt_state = jax.tree.map(
+                    lambda x, r: jax.device_put(jnp.asarray(x), r.sharding),
+                    restored_opt, ref,
+                )
         start_epoch = meta["epoch"] + 1
         stale = meta["epochs_since_improvement"]
         best_loss = meta["loss"]
@@ -219,10 +267,11 @@ def train(
                 tc.batch_size, jax.random.fold_in(k_train, epoch), epoch,
                 tc.print_freq, log, enc_opt_state=enc_opt_state,
                 bn_train_mode=tc.bn_train_mode and not tc.fine_tune_encoder,
+                mesh=mesh,
             )
         val_loss = run_validation(
             eval_step, params, encoder_params, val_data, tc.batch_size,
-            tc.print_freq, log,
+            tc.print_freq, log, mesh=mesh,
         )
         metric_log.log(
             "epoch", epoch=epoch, train_loss=train_loss, val_loss=val_loss,
@@ -233,8 +282,16 @@ def train(
         stale = 0 if is_best else stale + 1
         if not is_best:
             log(f"Epochs since last improvement: {stale}")
-        ckpt.save_checkpoint(
-            checkpoint_dir, cfg.data.base_name, epoch, stale, val_loss,
-            params, opt_state, encoder_params, is_best,
-        )
+        save_params, save_opt, save_enc = params, opt_state, encoder_params
+        if mesh is not None and jax.process_count() > 1:
+            # every process participates in the all-gather (collective);
+            # only the primary writes below
+            save_params = mesh_lib.gather_for_host(params, mesh)
+            save_opt = mesh_lib.gather_for_host(opt_state, mesh)
+            save_enc = mesh_lib.gather_for_host(encoder_params, mesh)
+        if jax.process_index() == 0:
+            ckpt.save_checkpoint(
+                checkpoint_dir, cfg.data.base_name, epoch, stale, val_loss,
+                save_params, save_opt, save_enc, is_best,
+            )
     return TrainResult(best_loss, epoch + 1 - start_epoch, params, encoder_params)

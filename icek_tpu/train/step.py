@@ -21,6 +21,38 @@ from icek_tpu.models import captioner as cap
 from icek_tpu.models import resnet
 
 
+def to_rbg_key(rng):
+    """Rekey to the 'rbg' PRNG implementation: random bits come from the
+    XLA RngBitGenerator (a hardware PRNG instruction on TPU) instead of
+    ~100 VPU ops/element of threefry, while split/fold_in still run
+    threefry over the (tiny) key data — so the per-layer key derivation in
+    models/transformer.py is unchanged and cheap.
+
+    This is the same cost class the flash kernel's in-kernel PRNG removed
+    for attention-weight dropout, applied to the residual / positional /
+    FFN dropouts that remain XLA ops.  The mask STREAM differs from
+    threefry (training is stochastic either way); deterministic passes and
+    the f32 parity suite never reach it.
+    """
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(rng)
+    else:
+        data = rng
+    data = jnp.asarray(data, jnp.uint32).reshape(-1)
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data])[:4], impl="rbg"
+    )
+
+
+def resolve_rbg_dropout(explicit=None) -> bool:
+    """Hardware-PRNG dropout: config flag, or (None = auto) on for TPU
+    backends (CPU keeps threefry — RngBitGenerator lowers poorly there and
+    tests want the default path)."""
+    if explicit is not None:
+        return explicit
+    return jax.default_backend() == "tpu"
+
+
 def make_optimizer(learning_rate: float, grad_clip: float = 5.0):
     """clip-by-value then Adam — mirrors clip_gradient's clamp_(-c, c)
     (geo-aware/utils.py:75-85) followed by Adam.step.
@@ -133,6 +165,7 @@ def make_train_step(
     fine_tune = encoder_optimizer is not None
     if bn_train_mode and not encode_images:
         raise ValueError("bn_train_mode requires encode_images=True")
+    rbg = resolve_rbg_dropout(cfg.train.use_rbg_dropout)
 
     def image_tokens(encoder_params, batch):
         if not encode_images:
@@ -151,6 +184,8 @@ def make_train_step(
         ), None
 
     def loss_fn(params, encoder_params, batch, rng):
+        if rbg:
+            rng = to_rbg_key(rng)
         tokens, new_enc = image_tokens(encoder_params, batch)
         if not fine_tune:
             tokens = jax.lax.stop_gradient(tokens)

@@ -1,0 +1,217 @@
+"""Multi-process (multi-host) runtime, simulated on the virtual 8-CPU mesh:
+per-process loader sharding must exactly cover each epoch, and a train step
+fed from per-process local shards must match the single-process step.
+
+The reference is single-process/single-device (geo-aware/train.py:16-18),
+so these semantics are green-field TPU design (SURVEY.md §5); correctness
+is proven here by simulating K processes inside one process."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from icek_tpu.core import config as config_lib
+from icek_tpu.data import dataset as ds
+from icek_tpu.data import streaming
+from icek_tpu.parallel import distributed, mesh as mesh_lib
+from icek_tpu.train import step as step_lib
+
+from test_parallel import _setup  # noqa: E402
+from test_train_e2e import make_raw_dataset, tiny_cfg  # noqa: E402
+
+
+# -----------------------------------------------------------------------
+# loader sharding: union of per-process streams == one exact epoch
+# -----------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,batch,P", [(37, 8, 2), (64, 8, 4), (10, 4, 4)])
+def test_process_local_slices_union_is_global_stream(n, batch, P):
+    """Every process sees the identical global stream and keeps its own
+    B/P-row slice; per batch the slices concatenate (in process order) back
+    to the global batch, and the union over the epoch covers every index
+    exactly once."""
+    global_batches = list(ds.batch_indices(n, batch, shuffle=True, seed=7))
+    per_process = [
+        list(ds.process_local_slices(
+            ds.batch_indices(n, batch, shuffle=True, seed=7), p, P
+        ))
+        for p in range(P)
+    ]
+    assert all(len(s) == len(global_batches) for s in per_process)
+    for i, gbatch in enumerate(global_batches):
+        stitched = np.concatenate([per_process[p][i] for p in range(P)])
+        np.testing.assert_array_equal(stitched, gbatch)
+    flat = np.concatenate([np.concatenate(s) for s in per_process])
+    real = np.sort(flat[flat >= 0])
+    np.testing.assert_array_equal(real, np.arange(n))
+
+
+def test_process_local_slices_validation():
+    with pytest.raises(ValueError, match="not divisible"):
+        list(ds.process_local_slices(iter([np.arange(6)]), 0, 4))
+    with pytest.raises(ValueError, match="process_index"):
+        list(ds.process_local_slices(iter([np.arange(8)]), 4, 4))
+
+
+def test_streaming_index_batches_process_sharding():
+    """The streaming index loader shares the slicing semantics."""
+    n, batch, P = 50, 8, 2
+    got = [
+        list(ds.process_local_slices(
+            streaming.block_shuffled_indices(
+                n, batch, shuffle=True, seed=3, block=8, window_blocks=2
+            ), p, P,
+        ))
+        for p in range(P)
+    ]
+    flat = np.concatenate([np.concatenate(s) for s in got])
+    real = np.sort(flat[flat >= 0])
+    np.testing.assert_array_equal(real, np.arange(n))
+
+
+@pytest.fixture
+def prepped(tmp_path):
+    from icek_tpu.data import input_files
+
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    writer = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    )
+    wm = writer.run()
+    return cfg, str(out_dir), wm
+
+
+@pytest.mark.parametrize("P,batch,block", [(2, 4, 3), (4, 4, 2)])
+def test_streaming_epoch_batches_process_sharding(prepped, P, batch, block):
+    """Block-sharded streaming: each simulated process range-reads only its
+    own blocks, all processes yield the same number of batches (SPMD
+    lockstep), and the union of real rows is exactly one epoch."""
+    cfg, out_dir, _ = prepped
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    n = len(stream)
+    shards = [
+        list(stream.epoch_batches(
+            batch, shuffle=True, seed=5, block_rows=block, window_blocks=2,
+            copy=True, process_index=p, process_count=P,
+        ))
+        for p in range(P)
+    ]
+    counts = {len(s) for s in shards}
+    assert len(counts) == 1, f"desynchronized step counts: {counts}"
+    local = batch // P
+    rows = []
+    for s in shards:
+        for b in s:
+            assert len(b["lengths"]) == local
+            rows.append(b["caption_ids"][b["lengths"] > 0])
+    got = np.sort(np.concatenate(rows), axis=0)
+    want = np.sort(np.asarray(stream.arrays.caption_ids)[:n], axis=0)
+    np.testing.assert_array_equal(got, want)
+
+
+# -----------------------------------------------------------------------
+# global-array assembly: per-process shards -> identical train step
+# -----------------------------------------------------------------------
+
+@pytest.mark.parametrize("mesh_shape,P", [((8, 1), 4), ((4, 2), 2), ((4, 2), 4)])
+def test_train_step_from_process_shards_matches_single_process(mesh_shape, P):
+    """The global batch assembled from P simulated per-process shards (the
+    make_array_from_process_local_data layout) must give the SAME loss and
+    parameters as the monolithic single-process batch."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg, V, params, batch = _setup()
+    optimizer = step_lib.make_optimizer(1e-3)
+    train_step, _ = step_lib.make_train_step(cfg, V, 0, optimizer,
+                                             encode_images=False)
+    mesh = mesh_lib.make_mesh(*mesh_shape)
+
+    sharded_params = mesh_lib.shard_params(params, mesh)
+    full_batch = mesh_lib.shard_batch(batch, mesh)
+    p1, _, loss1, count1 = train_step(
+        jax.tree.map(jnp.copy, sharded_params),
+        optimizer.init(sharded_params), None, full_batch, jax.random.PRNGKey(1),
+    )
+
+    B = batch["caption_ids"].shape[0]
+    local = B // P
+    shards = [
+        {k: v[p * local : (p + 1) * local] for k, v in batch.items()}
+        for p in range(P)
+    ]
+    assembled = mesh_lib.global_batch_from_shards(shards, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(assembled[k]), batch[k])
+        assert assembled[k].sharding == full_batch[k].sharding
+    p2, _, loss2, count2 = train_step(
+        mesh_lib.shard_params(params, mesh),
+        optimizer.init(sharded_params), None, assembled, jax.random.PRNGKey(1),
+    )
+    assert int(count1) == int(count2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gather_for_host_roundtrip():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.make_mesh(4, 2)
+    tree = {
+        "w": np.arange(32, dtype=np.float32).reshape(8, 4),
+        "b": np.ones((3,), np.float32),
+    }
+    sharded = {
+        "w": jax.device_put(
+            tree["w"], mesh_lib.batch_sharding(mesh)
+        ),
+        "b": mesh_lib.replicate(tree["b"], mesh),
+    }
+    gathered = mesh_lib.gather_for_host(sharded, mesh)
+    for k in tree:
+        assert gathered[k].sharding.is_fully_replicated
+        np.testing.assert_array_equal(np.asarray(gathered[k]), tree[k])
+
+
+# -----------------------------------------------------------------------
+# runtime helpers + end-to-end mesh training
+# -----------------------------------------------------------------------
+
+def test_maybe_initialize_single_process_noop():
+    info = distributed.maybe_initialize()
+    assert info == distributed.ProcessInfo(0, 1)
+    assert info.is_primary
+
+
+def test_local_batch_size():
+    assert distributed.local_batch_size(256, 8) == 32
+    with pytest.raises(ValueError, match="not divisible"):
+        distributed.local_batch_size(10, 4)
+
+
+def test_train_loop_with_mesh(prepped, tmp_path):
+    """train_loop.train(mesh=...) end-to-end on the virtual mesh: loaders
+    take the process args, batches run through global_batch, checkpoints
+    save on the primary."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from icek_tpu.train import loop as train_loop
+
+    cfg, out_dir, wm = prepped
+    mesh = mesh_lib.make_mesh(4, 2)
+    result = train_loop.train(
+        cfg, out_dir, len(wm), wm.pad_id,
+        checkpoint_dir=str(tmp_path / "ckpts"), max_epochs=1,
+        log=lambda s: None, mesh=mesh,
+    )
+    assert np.isfinite(result.best_loss)
+    from icek_tpu.train import checkpoint as ckpt
+
+    assert ckpt.latest_checkpoint(str(tmp_path / "ckpts"), "tiny_geo")

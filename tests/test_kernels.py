@@ -261,9 +261,10 @@ def test_int8_kv_beam_close_to_float(rng):
 
 
 def test_flash_train_step_grads_finite(rng):
-    """Flash path with dropout active: the train step produces finite loss
-    and gradients (full statistics are TPU-gated; interpret-mode PRNG keeps
-    every weight)."""
+    """Flash path: the train step produces finite loss and gradients.
+    Dropout rates are zeroed here — interpret-mode (CPU) flash with
+    dropout > 0 is rejected (see test_flash_dropout_rejected_on_interpret);
+    dropout statistics are TPU-gated (tests/test_tpu_smoke.py)."""
     import dataclasses
 
     from icek_tpu.core import config as config_lib
@@ -275,6 +276,7 @@ def test_flash_train_step_grads_finite(rng):
         cfg.model, emb_dim=40, num_heads=4, decoder_ffn_dim=64,
         encoder_ffn_dim=64, num_layers=1, type_vocab=50,
         use_flash_attention=True,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
     ))
     V, E, B, T = 60, 9, 2, 7
     params = cap.init_captioner_params(jax.random.PRNGKey(0), cfg.model, V)
@@ -301,3 +303,17 @@ def test_flash_train_step_grads_finite(rng):
     assert all(
         np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params)
     )
+
+
+def test_flash_dropout_rejected_on_interpret():
+    """Interpret-mode (CPU) flash with dropout_rate > 0 must raise: the
+    interpreter's prng_random_bits returns zeros, which would keep every
+    weight yet still scale by 1/(1-rate) — silently inflated attention."""
+    from icek_tpu.kernels import flash_attention as fa
+
+    q = jnp.zeros((1, 4, fa.LANE), jnp.float32)
+    with pytest.raises(ValueError, match="Mosaic interpreter"):
+        fa.flash_mha_packed(
+            q, q, q, head_dim=8, dropout_rate=0.2,
+            seed=jnp.zeros((1,), jnp.int32), interpret=True,
+        )

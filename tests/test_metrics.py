@@ -97,6 +97,46 @@ def test_meteor_synonym_stage():
     assert abs(rev - exact) < 1e-12
 
 
+def test_meteor_synonym_resolution_never_silent(monkeypatch, tmp_path):
+    """The synonym source resolves vendored-table > nltk-wordnet > disabled;
+    'disabled' warns LOUDLY on first use (never a silent no-op), and the
+    active stage is reported for metric metadata."""
+    import warnings as _warnings
+
+    # force a fresh resolution against a missing vendored table
+    monkeypatch.setattr(meteor, "_RESOLVED", None)
+    monkeypatch.setattr(
+        meteor, "VENDORED_LEMMAS", str(tmp_path / "absent.json.gz")
+    )
+    if meteor._wordnet_synonyms() is None:
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            meteor.meteor_sentence(["a"], "a")  # first scoring use
+            assert meteor.synonym_stage() == "disabled"
+        assert any("synonym stage DISABLED" in str(w.message) for w in caught)
+    else:  # environment has the corpus: the stage must be active, no warning
+        assert meteor.synonym_stage() == "nltk-wordnet"
+
+    # vendored table present -> it wins and actually matches synonyms
+    import gzip as _gzip
+    import json as _json
+
+    vendored = tmp_path / "wordnet_lemmas.json.gz"
+    with _gzip.open(vendored, "wt") as f:
+        _json.dump({"automobile": ["car", "auto"]}, f)
+    monkeypatch.setattr(meteor, "_RESOLVED", None)
+    monkeypatch.setattr(meteor, "VENDORED_LEMMAS", str(vendored))
+    assert meteor.synonym_stage() == "vendored-wordnet"
+    with_syn = meteor.meteor_sentence(
+        ["the red car stopped"], "the red automobile stopped"
+    )
+    exact = meteor.meteor_sentence(
+        ["the red car stopped"], "the red car stopped",
+        synonyms=lambda w: frozenset(),
+    )
+    assert abs(with_syn - exact) < 1e-12
+
+
 # -----------------------------------------------------------------------
 # JS geo metric parity
 # -----------------------------------------------------------------------

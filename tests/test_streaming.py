@@ -143,7 +143,8 @@ def test_epoch_batches_exact_cover(prepped, n, batch, block, window):
     if n > real_n:
         pytest.skip("fixture smaller than n; covered by the small cases")
     batches = list(stream.epoch_batches(
-        batch, shuffle=True, seed=2, block_rows=block, window_blocks=window
+        batch, shuffle=True, seed=2, block_rows=block, window_blocks=window,
+        copy=True,  # list() retains dicts past the buffer ring — must copy
     ))
     seen = np.concatenate([b["caption_ids"] for b in batches])
     assert all(len(b["lengths"]) == batch for b in batches)
@@ -158,7 +159,8 @@ def test_epoch_batches_exact_cover(prepped, n, batch, block, window):
         np.sort(want.view([("", want.dtype)] * want.shape[1]).ravel()),
     )
     again = list(stream.epoch_batches(
-        batch, shuffle=True, seed=2, block_rows=block, window_blocks=window
+        batch, shuffle=True, seed=2, block_rows=block, window_blocks=window,
+        copy=True,
     ))
     for b1, b2 in zip(batches, again):
         np.testing.assert_array_equal(b1["caption_ids"], b2["caption_ids"])
@@ -169,7 +171,7 @@ def test_epoch_batches_matches_index_batches_unshuffled(prepped):
     cfg, out_dir, _ = prepped
     stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
     got = list(stream.epoch_batches(4, shuffle=False, block_rows=3,
-                                    window_blocks=2))
+                                    window_blocks=2, copy=True))
     want = [stream.batch(idx)
             for idx in stream.index_batches(4, shuffle=False)]
     assert len(got) == len(want)

@@ -162,6 +162,54 @@ def test_overfit_single_batch(tmp_path):
     assert losses[-1] < losses[0] * 0.5, losses[::10]
 
 
+def test_rbg_dropout_train_step():
+    """use_rbg_dropout=True: the step trains with hardware-PRNG dropout
+    masks (rbg keys) — finite loss, dropout actually active (loss differs
+    from the deterministic pass), auto-resolution off on CPU."""
+    from icek_tpu.models import captioner
+    from icek_tpu.train import step as step_lib
+
+    assert step_lib.resolve_rbg_dropout(None) == (
+        jax.default_backend() == "tpu"
+    )
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, use_rbg_dropout=True)
+    )
+    V, E, B, T = 20, 5, 4, 8
+    rng = np.random.default_rng(1)
+    key = jax.random.PRNGKey(0)
+    params = captioner.init_captioner_params(key, cfg.model, V)
+    optimizer = step_lib.make_optimizer(3e-3)
+    train_step, eval_step = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=False
+    )
+    ents = np.zeros((B, E, 5), dtype=np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 4] = rng.integers(0, 10, (B, E))
+    batch = {
+        "caption_ids": rng.integers(1, V + E, (B, T)).astype(np.int32),
+        "caption_mask": np.zeros((B, T), dtype=np.int32),
+        "lengths": np.full((B,), T, dtype=np.int32),
+        "entity_features": ents,
+        "image_tokens": rng.standard_normal((B, 6, 20)).astype(np.float32),
+    }
+    batch["caption_mask"][batch["caption_ids"] >= V] = 1
+    params0 = jax.tree.map(jnp.copy, params)
+    p, o, loss, count = train_step(
+        params, optimizer.init(params), None, batch, key
+    )
+    assert np.isfinite(float(loss)) and int(count) == B * (T - 1)
+    det_loss, _ = eval_step(params0, None, batch)
+    assert abs(float(loss) - float(det_loss)) > 1e-6  # dropout is live
+    # two different step keys -> different masks -> different losses
+    loss2 = train_step(
+        jax.tree.map(jnp.copy, params0), optimizer.init(params0), None,
+        batch, jax.random.fold_in(key, 1),
+    )[2]
+    assert abs(float(loss) - float(loss2)) > 1e-9
+
+
 def test_eval_driver_and_scores(tmp_path):
     """TEST-split eval: batched greedy + beam decode -> CSV -> corpus scores."""
     import pandas as pd
