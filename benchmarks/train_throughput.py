@@ -1,11 +1,15 @@
 """Training throughput: icek_tpu jitted train step (TPU) vs the reference's
-torch train iteration (CPU), geo config at production sizes.
+torch train iteration (CPU), all three presets at production sizes.
 
 Both measurements exclude the frozen ResNet encoder (icek_tpu caches image
 tokens once per split; the reference recomputes it per batch, so this is
 again conservative in the reference's favor).  The reference side times one
 forward + backward + clip + Adam step of DecoderTransformer at its
 documented batch size 4 (geo-aware/train.py:45); ours at batch 64.
+
+Usage: train_throughput.py [icek|stock|reference|both|finetune|finetune_bn]
+                           [batch] [georic|k_georic|nytimes800k]
+Env: ICEK_RBG=0/1 forces hardware-PRNG dropout off/on (default: auto).
 """
 
 import json
@@ -17,8 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VOCAB, E, T = 10000, 301, 32
 
+# production training shapes per preset: (E+1 entity rows, F+1 fact rows,
+# ents feature width, padded caption length = prep max_len + start/end)
+PRESET_SHAPES = {
+    "georic": (301, 0, 5, 32),
+    "k_georic": (301, 51, 5, 102),
+    "nytimes800k": (101, 301, 10, 52),
+}
 
-def measure_icek(batch=64, iters=60, flash=None):
+
+def measure_icek(batch=64, iters=60, flash=None, preset="georic"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,10 +42,16 @@ def measure_icek(batch=64, iters=60, flash=None):
     from icek_tpu.models import captioner
     from icek_tpu.train import step as step_lib
 
-    cfg = config_lib.georic()
+    cfg = config_lib.get_config(preset)
+    E, F, C, T = PRESET_SHAPES[preset]
     if flash is not None:
         cfg = cfg.replace(
             model=dataclasses.replace(cfg.model, use_flash_attention=flash)
+        )
+    rbg_env = os.environ.get("ICEK_RBG")
+    if rbg_env is not None:
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, use_rbg_dropout=rbg_env == "1")
         )
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     rng = np.random.default_rng(0)
@@ -43,17 +61,28 @@ def measure_icek(batch=64, iters=60, flash=None):
     train_step, _ = step_lib.make_train_step(
         cfg, VOCAB, 0, optimizer, compute_dtype=compute_dtype, encode_images=False
     )
-    ents = np.zeros((batch, E, 5), dtype=np.float32)
+    ext = VOCAB + E + F
+    ents = np.zeros((batch, E, C), dtype=np.float32)
     ents[:, :, 0] = np.arange(E)
-    ents[:, :, 4] = rng.integers(0, 900, (batch, E))
+    ents[:, :, 4] = rng.integers(0, cfg.model.type_vocab, (batch, E))
+    if C > 5:  # news: name word ids ride in cols 5..9
+        ents[:, :, 5:] = rng.integers(0, VOCAB, (batch, E, C - 5))
     batch_data = {
-        "caption_ids": rng.integers(1, VOCAB + E, (batch, T)).astype(np.int32),
+        "caption_ids": rng.integers(1, ext, (batch, T)).astype(np.int32),
         "caption_mask": np.zeros((batch, T), dtype=np.int32),
         "lengths": np.full((batch,), T, dtype=np.int32),
         "entity_features": ents,
         "image_tokens": rng.standard_normal((batch, 196, 300)).astype(np.float32),
     }
-    batch_data["caption_mask"][batch_data["caption_ids"] >= VOCAB] = 1
+    if F:
+        facts = np.zeros((batch, F, 3), dtype=np.float32)
+        facts[:, :, 0] = np.arange(F)
+        facts[:, :, 1] = rng.integers(0, E, (batch, F))
+        facts[:, :, 2] = rng.integers(0, cfg.model.num_predicates, (batch, F))
+        batch_data["fact_features"] = facts
+    ids = batch_data["caption_ids"]
+    batch_data["caption_mask"][(ids >= VOCAB) & (ids < VOCAB + E)] = 1
+    batch_data["caption_mask"][ids >= VOCAB + E] = 2
     # pre-stage batch AND step keys on device: the production loader
     # prefetches on a background thread; this measures the device step itself
     batch_data = jax.tree.map(jnp.asarray, batch_data)
@@ -74,6 +103,8 @@ def measure_icek(batch=64, iters=60, flash=None):
         float(loss)
         best = min(best, (time.perf_counter() - t0) / iters)
     return {"backend": jax.default_backend(), "batch": batch,
+            "preset": preset,
+            "rbg_dropout": step_lib.resolve_rbg_dropout(cfg.train.use_rbg_dropout),
             "step_ms": round(best * 1000, 2),
             "samples_per_sec": round(batch / best, 1)}
 
@@ -208,11 +239,12 @@ def measure_reference(batch=4, iters=5):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    preset = sys.argv[3] if len(sys.argv) > 3 else "georic"
     out = {}
     if which in ("both", "icek"):
-        out["icek_tpu"] = measure_icek(batch=batch)
+        out["icek_tpu"] = measure_icek(batch=batch, preset=preset)
     if which == "stock":  # flash kernel ablation: stock XLA attention
-        out["icek_tpu"] = measure_icek(batch=batch, flash=False)
+        out["icek_tpu"] = measure_icek(batch=batch, flash=False, preset=preset)
     if which == "finetune":  # full ResNet fwd+bwd in the step
         out["icek_tpu"] = measure_finetune(batch=batch if batch != 64 else 16)
     if which == "finetune_bn":  # + reference's train-mode BN side effect
