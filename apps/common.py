@@ -68,6 +68,35 @@ def run_create_input_files(preset: str, argv=None):
             )
 
 
+def add_parallel_args(p: argparse.ArgumentParser, verb: str):
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the multi-process (multi-host) runtime "
+                        "before anything touches the backend; topology from "
+                        "ICEK_COORDINATOR/ICEK_NUM_PROCESSES/ICEK_PROCESS_ID "
+                        "or jax auto-detection (Cloud TPU pods need nothing)")
+    p.add_argument("--mesh", default=None, metavar="DATA,MODEL",
+                   help=f"{verb} SPMD over a (data, model) device mesh, e.g. "
+                        "'4,2'; 'auto' = all devices on the data axis. "
+                        "Implied (auto) by --distributed.")
+
+
+def resolve_parallel(args):
+    """Initialize the multi-process runtime / build the mesh, if requested.
+    Must run before anything else touches the jax backend."""
+    if not (args.distributed or args.mesh):
+        return None
+    from icek_tpu.parallel import distributed
+    from icek_tpu.parallel import mesh as mesh_lib
+
+    if args.distributed:
+        info = distributed.maybe_initialize()
+        print(f"distributed: process {info.index}/{info.count}")
+    if args.mesh and args.mesh != "auto":
+        data_ax, model_ax = (int(x) for x in args.mesh.split(","))
+        return mesh_lib.make_mesh(data=data_ax, model=model_ax)
+    return mesh_lib.make_mesh()
+
+
 def run_train(preset: str, argv=None):
     cfg = config_lib.get_config(preset)
     p = base_parser(f"Train the {preset} captioner")
@@ -79,32 +108,11 @@ def run_train(preset: str, argv=None):
     p.add_argument("--streaming", action="store_true",
                    help="stream batches from the HDF5 sidecar store "
                         "(constant host memory; NYTimes800k scale)")
-    p.add_argument("--distributed", action="store_true",
-                   help="initialize the multi-process (multi-host) runtime "
-                        "before anything touches the backend; topology from "
-                        "ICEK_COORDINATOR/ICEK_NUM_PROCESSES/ICEK_PROCESS_ID "
-                        "or jax auto-detection (Cloud TPU pods need nothing)")
-    p.add_argument("--mesh", default=None, metavar="DATA,MODEL",
-                   help="train SPMD over a (data, model) device mesh, e.g. "
-                        "'4,2'; 'auto' = all devices on the data axis. "
-                        "Implied (auto) by --distributed.")
+    add_parallel_args(p, "train")
     args = p.parse_args(argv)
     import dataclasses
 
-    mesh = None
-    if args.distributed or args.mesh:
-        # must precede every other jax call (the loop below compiles steps)
-        from icek_tpu.parallel import distributed
-        from icek_tpu.parallel import mesh as mesh_lib
-
-        if args.distributed:
-            info = distributed.maybe_initialize()
-            print(f"distributed: process {info.index}/{info.count}")
-        if args.mesh and args.mesh != "auto":
-            data_ax, model_ax = (int(x) for x in args.mesh.split(","))
-            mesh = mesh_lib.make_mesh(data=data_ax, model=model_ax)
-        else:
-            mesh = mesh_lib.make_mesh()
+    mesh = resolve_parallel(args)
 
     from icek_tpu.train import loop as train_loop
     from icek_tpu.train.embeddings import load_glove_embeddings
@@ -146,7 +154,10 @@ def run_eval(preset: str, argv=None):
     p.add_argument("--output", default="generated_captions.csv")
     p.add_argument("--streaming", action="store_true",
                    help="read the TEST split via the streaming loader")
+    add_parallel_args(p, "decode")
     args = p.parse_args(argv)
+
+    mesh = resolve_parallel(args)
 
     from icek_tpu import eval_driver
     from icek_tpu.data import dataset as ds
@@ -183,7 +194,7 @@ def run_eval(preset: str, argv=None):
         )
     evaluator = eval_driver.Evaluator(
         cfg, wm, params, encoder_params,
-        batch_size=args.batch_size, beam_size=args.beam,
+        batch_size=args.batch_size, beam_size=args.beam, mesh=mesh,
     )
 
     js_metric = fact_metric = predicate_to_objects = None

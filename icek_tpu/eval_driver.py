@@ -18,6 +18,7 @@ Output contract preserved per preset:
 from __future__ import annotations
 
 import random as _random
+from functools import partial
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -62,12 +63,33 @@ class Evaluator:
         batch_size: Optional[int] = None,
         beam_size: Optional[int] = None,
         compute_dtype=None,
+        mesh=None,
     ):
+        """With ``mesh`` the evaluation is SPMD over the device mesh:
+        params replicate (decode is bandwidth-bound data-parallel serving),
+        each batch shards over the mesh's data axis, and the decoded ids
+        replicate back so the primary process does all host-side work
+        (detok, metrics, CSV).  Multi-process runs feed each process's
+        LOCAL rows to :meth:`run` via the loader sharding, mirroring the
+        training data path (parallel/mesh.py::global_batch)."""
         self.cfg = cfg
         self.wordmap = wordmap
+        self.mesh = mesh
+        if mesh is not None:
+            from icek_tpu.parallel import mesh as mesh_lib
+
+            self._mesh_lib = mesh_lib
+            params = mesh_lib.replicate(params, mesh)
+            if encoder_params is not None:
+                encoder_params = mesh_lib.replicate(encoder_params, mesh)
         self.params = params
         self.encoder_params = encoder_params
         self.batch_size = resolve_eval_batch_size(batch_size, cfg)
+        if mesh is not None and self.batch_size % jax.process_count():
+            raise ValueError(
+                f"eval batch size {self.batch_size} is not divisible by "
+                f"process count {jax.process_count()}"
+            )
         self.beam_size = beam_size if beam_size is not None else cfg.decode.beam_size
         if compute_dtype is None:
             compute_dtype = (
@@ -93,8 +115,18 @@ class Evaluator:
             return self._fused[key]
         cfg = self.cfg
         wm = self.wordmap
+        jit = jax.jit
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        @jax.jit
+            # decoded ids replicate so every process (and the host loop on
+            # the primary) sees the full batch
+            jit = partial(
+                jax.jit,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+            )
+
+        @jit
         def run(images_or_tokens, ents, facts):
             if with_images:
                 if self._encoder_folded is not None:
@@ -135,7 +167,14 @@ class Evaluator:
         return run
 
     def decode_batch(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
-        """One static-shape batch -> (B, max_len) extended-vocab ids."""
+        """One static-shape batch -> (B, max_len) extended-vocab ids.
+
+        With a mesh the batch holds this process's LOCAL rows; they are
+        assembled into data-sharded global arrays first (every process
+        must call this in lockstep — the decode is a collective program)."""
+        num_ent_rows = batch["entity_features"].shape[1]
+        if self.mesh is not None:
+            batch = self._mesh_lib.global_batch(batch, self.mesh)
         with_images = "image_tokens" not in batch
         inputs = jnp.asarray(
             batch["images"] if with_images else batch["image_tokens"]
@@ -145,7 +184,7 @@ class Evaluator:
             if batch.get("fact_features") is not None
             else None
         )
-        run = self._pipeline(with_images, batch["entity_features"].shape[1])
+        run = self._pipeline(with_images, num_ent_rows)
         return np.asarray(
             run(inputs, jnp.asarray(batch["entity_features"]), facts)
         )
@@ -167,6 +206,8 @@ class Evaluator:
         masks: List[List[int]] = []
         random_baseline: List[str] = []
         num_entities = num_facts = caps_with_entities = caps_with_facts = 0
+        pi, pc = jax.process_index(), jax.process_count()
+        primary = pi == 0
 
         def batches():
             for start in range(0, n, self.batch_size):
@@ -174,6 +215,11 @@ class Evaluator:
                     np.arange(start, min(start + self.batch_size, n)),
                     self.batch_size,
                 )
+                if pc > 1:
+                    # each process reads only the rows its devices own;
+                    # decode_batch reassembles the global batch
+                    local = self.batch_size // pc
+                    idx = idx[pi * local : (pi + 1) * local]
                 yield start, data.batch(idx)
 
         # overlap host-side HDF5 read + normalization with device decode
@@ -181,6 +227,10 @@ class Evaluator:
         for start, batch in prefetched:
             out = self.decode_batch(batch)
             count = min(self.batch_size, n - start)
+            if not primary:
+                # non-primary processes only drive the collective decode;
+                # detok/metrics/CSV are single-writer on the primary
+                continue
             for b in range(count):
                 i = start + b
                 ent_names = data.arrays.entity_names[i]
@@ -222,6 +272,8 @@ class Evaluator:
                         )
                     )
 
+        if not primary:
+            return {"captions": None, "masks": None, "primary": False}
         self._write_csv(output_csv, captions, masks)
         results: Dict[str, object] = {"captions": captions, "masks": masks}
         if random_baseline:

@@ -63,6 +63,18 @@ def maybe_initialize(
         num_processes is not None and num_processes > 1
     )
     if want_multiprocess and not _INITIALIZED:
+        # On CPU backends cross-process collectives need an explicit
+        # transport (TPU pods ride ICI natively); gloo-over-TCP ships with
+        # jaxlib.  Must be set before the backend is created.
+        platforms = str(
+            getattr(jax.config, "jax_platforms", None)
+            or os.environ.get("JAX_PLATFORMS", "")
+        )
+        if "cpu" in platforms:
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:  # older jaxlib without gloo: single-host only
+                pass
         # must run before any other jax API call creates the backend
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -79,3 +79,50 @@ def test_random_fact_baseline_untouched_when_main_terminated():
     main_raw = " ".join(tokens)
     assert detok.trim_trailing_sentence(main_raw) == main_raw
     assert detok.trim_lockstep(main_raw, baseline_raw) == baseline_raw
+
+
+def test_evaluator_mesh_matches_unsharded(tmp_path):
+    """Sharded (mesh) Evaluator must produce byte-identical captions + CSV
+    to the plain single-device Evaluator on the same params/dataset — the
+    single-process leg of the distributed-eval contract (the real
+    two-process run is tests/test_multiprocess_real.py)."""
+    import jax
+    import pandas as pd
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from icek_tpu import eval_driver
+    from icek_tpu.data import dataset as ds
+    from icek_tpu.data import input_files
+    from icek_tpu.models import captioner, resnet
+    from icek_tpu.parallel import mesh as mesh_lib
+    from test_train_e2e import make_raw_dataset, tiny_cfg
+
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    wm = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    ).run()
+    test_data = ds.CaptionDataset(str(out_dir), "tiny_geo", "TEST")
+
+    key = jax.random.PRNGKey(3)
+    params = captioner.init_captioner_params(key, cfg.model, len(wm))
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+
+    plain = eval_driver.Evaluator(
+        cfg, wm, params, encoder_params, batch_size=4, beam_size=3,
+    ).run(test_data, output_csv=str(tmp_path / "plain.csv"), log=lambda s: None)
+    sharded = eval_driver.Evaluator(
+        cfg, wm, params, encoder_params, batch_size=4, beam_size=3,
+        mesh=mesh_lib.make_mesh(4, 2),
+    ).run(test_data, output_csv=str(tmp_path / "mesh.csv"), log=lambda s: None)
+
+    assert sharded["captions"] == plain["captions"]
+    assert sharded["masks"] == plain["masks"]
+    pd.testing.assert_frame_equal(
+        pd.read_csv(tmp_path / "mesh.csv"), pd.read_csv(tmp_path / "plain.csv")
+    )
