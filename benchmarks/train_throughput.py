@@ -9,7 +9,8 @@ documented batch size 4 (geo-aware/train.py:45); ours at batch 64.
 
 Usage: train_throughput.py [icek|stock|reference|both|finetune|finetune_bn]
                            [batch] [georic|k_georic|nytimes800k]
-Env: ICEK_RBG=0/1 forces hardware-PRNG dropout off/on (default: auto).
+Env: ICEK_RBG=0/1 forces hardware-PRNG dropout off/on (default: auto);
+     ICEK_FLAT=0/1 forces the flattened clip+Adam off/on (default: auto).
 """
 
 import json
@@ -30,7 +31,8 @@ PRESET_SHAPES = {
 }
 
 
-def measure_icek(batch=64, iters=60, flash=None, preset="georic"):
+def measure_icek(batch=64, iters=60, flash=None, preset="georic",
+                 profile_dir=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,10 +55,13 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic"):
         cfg = cfg.replace(
             train=dataclasses.replace(cfg.train, use_rbg_dropout=rbg_env == "1")
         )
+    flat_env = os.environ.get("ICEK_FLAT")  # A/B: flattened clip+Adam
+    flat = None if flat_env is None else flat_env == "1"
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     rng = np.random.default_rng(0)
     params = captioner.init_captioner_params(jax.random.PRNGKey(0), cfg.model, VOCAB)
-    optimizer = step_lib.make_optimizer(cfg.train.decoder_lr, cfg.train.grad_clip)
+    optimizer = step_lib.make_optimizer(cfg.train.decoder_lr, cfg.train.grad_clip,
+                                        flat=flat)
     opt_state = optimizer.init(params)
     train_step, _ = step_lib.make_train_step(
         cfg, VOCAB, 0, optimizer, compute_dtype=compute_dtype, encode_images=False
@@ -102,9 +107,17 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic"):
             )
         float(loss)
         best = min(best, (time.perf_counter() - t0) / iters)
+    if profile_dir:  # one traced pass for tools/profile_train_step.py
+        with jax.profiler.trace(profile_dir):
+            for i in range(min(iters, 10)):
+                params, opt_state, loss, _ = train_step(
+                    params, opt_state, None, batch_data, keys[i]
+                )
+            float(loss)
     return {"backend": jax.default_backend(), "batch": batch,
             "preset": preset,
             "rbg_dropout": step_lib.resolve_rbg_dropout(cfg.train.use_rbg_dropout),
+            "flat_optimizer": step_lib.resolve_flat_optimizer(flat),
             "step_ms": round(best * 1000, 2),
             "samples_per_sec": round(batch / best, 1)}
 

@@ -16,6 +16,7 @@ Everything is a pure function over a params pytree:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -77,6 +78,52 @@ def dropout(x, rate, key, deterministic):
         return x
     keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _kernel_seed(key):
+    """(1,) int32 seed for the hardware-PRNG kernels, derived from a JAX key
+    (same convention as the flash attention call site below)."""
+    return jax.random.randint(
+        key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+    )
+
+
+_LN_MODE = os.environ.get("ICEK_LN", "xla")  # xla | pallas | stock (A/B)
+
+
+def residual_norm(norm, x, h, rate, key, deterministic, fused, compute_dtype):
+    """``layer_norm(norm, x + dropout(h))``.
+
+    On dropout-active fused training passes the chain is restructured so no
+    f32 (B, S, D) tensor ever reaches HBM: the stock path materializes an
+    f32 copy of the normalized tensor as a backward residual plus the
+    dropout keep-mask, per site.  Two strategies (ICEK_LN env A/B):
+      xla (default)  emit the LN result in the compute dtype and remat the
+                     whole chain — backward recomputes from the bf16 inputs
+                     XLA already has in HBM instead of storing f32 copies.
+      pallas         kernels/fused_norm.dropout_add_ln (hardware-PRNG mask,
+                     single read/write) — loses to xla here: XLA lays these
+                     activations out (B)(D)(S) for the surrounding GEMMs and
+                     relayout copies to feed the kernel eat the win.
+    """
+    if fused and not deterministic and rate > 0.0 and key is not None:
+        if _LN_MODE == "pallas":
+            from icek_tpu.kernels import fused_norm
+
+            return fused_norm.dropout_add_ln(
+                x.astype(compute_dtype), h.astype(compute_dtype),
+                norm["scale"], norm["bias"], rate=rate, seed=_kernel_seed(key),
+            )
+        if _LN_MODE == "xla":
+
+            def chain(n, x_, h_):
+                y = layer_norm(n, x_ + dropout(h_, rate, key, False))
+                return y.astype(compute_dtype)
+
+            return jax.checkpoint(chain)(
+                norm, x.astype(compute_dtype), h.astype(compute_dtype)
+            )
+    return layer_norm(norm, x + dropout(h, rate, key, deterministic))
 
 
 def multi_head_attention(
@@ -230,10 +277,16 @@ def init_encoder_layer(key, d_model, ffn_dim):
     }
 
 
-def _ffn(params, x, rate, key, deterministic, compute_dtype):
+def _ffn(params, x, rate, key, deterministic, compute_dtype, fused=False):
     h = linear(params["lin1"], x, compute_dtype)
     h = jax.nn.relu(h)
-    h = dropout(h, rate, key, deterministic)
+    if (fused and _LN_MODE == "pallas" and not deterministic and rate > 0.0
+            and key is not None):
+        from icek_tpu.kernels import fused_norm
+
+        h = fused_norm.hw_dropout(h, rate=rate, seed=_kernel_seed(key))
+    else:
+        h = dropout(h, rate, key, deterministic)
     return linear(params["lin2"], h, compute_dtype)
 
 
@@ -248,9 +301,12 @@ def encoder_layer(
         dropout_rate=rate, dropout_key=keys[0], deterministic=deterministic,
         compute_dtype=compute_dtype, flash=flash,
     )
-    x = layer_norm(params["norm1"], x + dropout(attn, rate, keys[1], deterministic))
-    ff = _ffn(params["ffn"], x, rate, keys[2], deterministic, compute_dtype)
-    x = layer_norm(params["norm2"], x + dropout(ff, rate, keys[3], deterministic))
+    x = residual_norm(params["norm1"], x, attn, rate, keys[1], deterministic,
+                      flash, compute_dtype)
+    ff = _ffn(params["ffn"], x, rate, keys[2], deterministic, compute_dtype,
+              fused=flash)
+    x = residual_norm(params["norm2"], x, ff, rate, keys[3], deterministic,
+                      flash, compute_dtype)
     return x
 
 
@@ -289,15 +345,19 @@ def decoder_layer(
         compute_dtype=compute_dtype, kv_cache=self_cache, cache_index=cache_index,
         flash=flash, causal=causal_mask is not None,
     )
-    x = layer_norm(params["norm1"], x + dropout(attn, rate, keys[1], deterministic))
+    x = residual_norm(params["norm1"], x, attn, rate, keys[1], deterministic,
+                      flash, compute_dtype)
     cross, _ = multi_head_attention(
         params["cross_attn"], x, memory, num_heads,
         dropout_rate=rate, dropout_key=keys[2], deterministic=deterministic,
         compute_dtype=compute_dtype, precomputed_kv=cross_kv, flash=flash,
     )
-    x = layer_norm(params["norm2"], x + dropout(cross, rate, keys[3], deterministic))
-    ff = _ffn(params["ffn"], x, rate, keys[4], deterministic, compute_dtype)
-    x = layer_norm(params["norm3"], x + dropout(ff, rate, keys[5], deterministic))
+    x = residual_norm(params["norm2"], x, cross, rate, keys[3], deterministic,
+                      flash, compute_dtype)
+    ff = _ffn(params["ffn"], x, rate, keys[4], deterministic, compute_dtype,
+              fused=flash)
+    x = residual_norm(params["norm3"], x, ff, rate, keys[5], deterministic,
+                      flash, compute_dtype)
     return x, new_self_cache
 
 

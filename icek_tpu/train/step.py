@@ -53,18 +53,32 @@ def resolve_rbg_dropout(explicit=None) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def make_optimizer(learning_rate: float, grad_clip: float = 5.0):
+def resolve_flat_optimizer(explicit=None) -> bool:
+    """Flattened (single-vector) clip+Adam via ``optax.flatten``.
+
+    Measured a wash on TPU at the production shape (2223 vs 2220
+    samples/s, batch 256 georic — XLA already runs the ~300 tiny per-leaf
+    update ops well inside other ops' bubbles), and it changes the
+    opt-state tree layout checkpoints serialize.  Default off; kept as an
+    explicit opt-in for A/B on other topologies."""
+    return bool(explicit)
+
+
+def make_optimizer(learning_rate: float, grad_clip: float = 5.0,
+                   flat: bool = None):
     """clip-by-value then Adam — mirrors clip_gradient's clamp_(-c, c)
     (geo-aware/utils.py:75-85) followed by Adam.step.
 
     The learning rate is injected so the plateau decay (train.py:173-176)
     can rescale it in-place between epochs.
     """
+    flat = resolve_flat_optimizer(flat)
+    wrap = optax.flatten if flat else (lambda tx: tx)
     return optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
+        lambda learning_rate: wrap(optax.chain(
             optax.clip(grad_clip),
             optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8),
-        )
+        ))
     )(learning_rate=learning_rate)
 
 
@@ -73,6 +87,45 @@ def decay_learning_rate(opt_state, factor: float):
         opt_state.hyperparams["learning_rate"] * factor
     )
     return opt_state
+
+
+@jax.custom_vjp
+def _token_nll(logits, targets, valid):
+    """Per-token negative log-likelihood with a hand-written backward.
+
+    Forward never materializes an f32 copy of the (B, T, V) logits: max /
+    logsumexp / gather reduce the native-dtype (bf16 on TPU) tensor with
+    f32 accumulation fused into the reductions.  Backward emits
+    d_logits = (softmax - onehot) * d_nll directly in the logits dtype —
+    autodiff of the same expression materializes TWO f32 (B, T, V)
+    intermediates (exp recompute + onehot subtract) before the convert,
+    ~2 extra full-tensor HBM passes at the 10k-vocab production shape.
+    """
+    nll, _ = _token_nll_fwd(logits, targets, valid)
+    return nll
+
+
+def _token_nll_fwd(logits, targets, valid):
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1)).astype(jnp.float32)
+    shifted = logits.astype(jnp.float32) - m[..., None]  # fuses: single use
+    lse = m + jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
+    picked = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    nll = (lse - picked.astype(jnp.float32)) * valid
+    return nll, (logits, targets, valid, lse)
+
+
+def _token_nll_bwd(res, g):
+    logits, targets, valid, lse = res
+    scale = (g * valid).astype(jnp.float32)[..., None]
+    soft = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
+    onehot = (
+        jnp.arange(logits.shape[-1], dtype=targets.dtype) == targets[..., None]
+    )
+    d_logits = ((soft - onehot) * scale).astype(logits.dtype)
+    return d_logits, None, None
+
+
+_token_nll.defvjp(_token_nll_fwd, _token_nll_bwd)
 
 
 def caption_loss(scores, caption_ids, caption_lengths, pad_id):
@@ -89,9 +142,8 @@ def caption_loss(scores, caption_ids, caption_lengths, pad_id):
     T = targets.shape[1]
     valid = jnp.arange(T)[None, :] < (caption_lengths[:, None] - 1)
     valid = valid & (targets != pad_id)
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    token_ll = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
-    total = jnp.sum(-token_ll * valid)
+    nll = _token_nll(logits, targets, valid)
+    total = jnp.sum(nll)
     count = jnp.sum(valid)
     return total / jnp.maximum(count, 1), count
 
@@ -195,6 +247,12 @@ def make_train_step(
             batch["entity_features"], batch.get("fact_features"),
             rng=rng, deterministic=False, compute_dtype=compute_dtype,
         )
+        # bf16 passes keep the (B, T, V+E+F) score tensor in bf16 through
+        # the loss: the cast fuses into the vocab-head bias add (the f32
+        # score tensor is never written to HBM), and _token_nll's fwd/bwd
+        # read/write bf16 with f32 accumulation — halving the HBM traffic
+        # of the largest tensor in the step.  f32 (parity) passes no-op.
+        scores = scores.astype(compute_dtype)
         loss, count = caption_loss(
             scores, batch["caption_ids"], batch["lengths"], pad_id
         )

@@ -317,3 +317,51 @@ def test_flash_dropout_rejected_on_interpret():
             q, q, q, head_dim=8, dropout_rate=0.2,
             seed=jnp.zeros((1,), jnp.int32), interpret=True,
         )
+
+
+def test_fused_norm_matches_stock_layer_norm(rng):
+    """kernels/fused_norm.dropout_add_ln at rate 0 (interpret mode) equals
+    layer_norm(x + h) in values and in all four gradients, including the
+    tail grid block (row count not a multiple of fused_norm.ROWS)."""
+    from icek_tpu.kernels import fused_norm
+    from icek_tpu.models import transformer as tr
+
+    N, D = 530, 36
+    x = jnp.asarray(rng.standard_normal((2, N // 2, D)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((2, N // 2, D)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    p = {"scale": scale, "bias": bias}
+
+    out = fused_norm.dropout_add_ln(x, h, scale, bias, rate=0.0)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(tr.layer_norm(p, x + h)), atol=2e-5
+    )
+
+    def loss_ref(x_, h_, s_, b_):
+        return jnp.sum(jnp.sin(tr.layer_norm({"scale": s_, "bias": b_}, x_ + h_)))
+
+    def loss_ker(x_, h_, s_, b_):
+        return jnp.sum(jnp.sin(fused_norm.dropout_add_ln(x_, h_, s_, b_, rate=0.0)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, h, scale, bias)
+    gk = jax.grad(loss_ker, argnums=(0, 1, 2, 3))(x, h, scale, bias)
+    for a, b in zip(gr, gk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=1e-4)
+
+
+def test_fused_norm_dropout_rejected_on_interpret():
+    """rate > 0 under the Mosaic interpreter must raise (interpreted
+    prng_random_bits returns zeros -> silently mis-scaled outputs)."""
+    from icek_tpu.kernels import fused_norm
+
+    x = jnp.zeros((4, 8), jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    with pytest.raises(ValueError, match="Mosaic interpreter"):
+        fused_norm.dropout_add_ln(
+            x, x, jnp.ones((8,)), jnp.zeros((8,)), rate=0.2, seed=seed,
+            interpret=True,
+        )
+    with pytest.raises(ValueError, match="Mosaic interpreter"):
+        fused_norm.hw_dropout(x, rate=0.2, seed=seed, interpret=True)

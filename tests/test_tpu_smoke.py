@@ -220,3 +220,67 @@ def test_int8_kv_bounded_on_hardware():
     # so ANY perturbation flips many near-tie picks (measured ~55% agreement
     # here); far-above-chance agreement is the meaningful bound
     assert (qt == np.asarray(ft)).mean() >= 0.4
+
+
+def test_fused_norm_dropout_on_hardware():
+    """kernels/fused_norm.py with rate > 0 on real hardware: keep fraction,
+    scaling, fwd/bwd mask consistency, and LN+dropout equivalence against
+    the stock math evaluated with the kernel's own (recovered) mask."""
+    from icek_tpu.kernels import fused_norm
+    from icek_tpu.models import transformer as tr
+
+    rng = np.random.default_rng(0)
+    N, D, rate = 530, 300, 0.2
+    x = jnp.asarray(rng.standard_normal((2, N // 2, D)), jnp.bfloat16)
+    h = jnp.asarray(rng.standard_normal((2, N // 2, D)), jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal(D), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(D), jnp.float32)
+    seed = jnp.asarray([1234], jnp.int32)
+
+    d0 = fused_norm.hw_dropout(h.astype(jnp.float32), rate=rate, seed=seed)
+    d0 = np.asarray(d0)
+    kept = np.mean(d0 != 0.0)
+    assert abs(kept - (1 - rate)) < 0.01
+    src = np.asarray(h.astype(jnp.float32))
+    np.testing.assert_allclose(d0[d0 != 0.0], src[d0 != 0.0] / (1 - rate),
+                               rtol=1e-6)
+
+    # backward regenerates the identical mask from the seed
+    g = jax.grad(
+        lambda hh: jnp.sum(fused_norm.hw_dropout(hh, rate=rate, seed=seed))
+    )(h.astype(jnp.float32))
+    g = np.asarray(g)
+    mask = d0 != 0.0
+    assert np.allclose(g[mask], 1 / (1 - rate)) and np.allclose(g[~mask], 0.0)
+
+    # dropout_add_ln == stock layer_norm(x + dropped) under the same mask
+    out = fused_norm.dropout_add_ln(x, h, scale, bias, rate=rate, seed=seed)
+    keepm = jnp.asarray(mask)
+    z = x.astype(jnp.float32) + jnp.where(
+        keepm, h.astype(jnp.float32) / (1 - rate), 0.0
+    )
+    ref = tr.layer_norm({"scale": scale, "bias": bias}, z)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=0.05
+    )
+
+    def loss_k(x_, h_, s_, b_):
+        y = fused_norm.dropout_add_ln(x_, h_, s_, b_, rate=rate, seed=seed)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+    def loss_r(x_, h_, s_, b_):
+        z_ = x_.astype(jnp.float32) + jnp.where(
+            keepm, h_.astype(jnp.float32) / (1 - rate), 0.0
+        )
+        return jnp.sum(jnp.sin(tr.layer_norm({"scale": s_, "bias": b_}, z_)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, h, scale, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, h, scale, bias)
+    # dx/dh elementwise (bf16 inputs AND a bf16 kernel output -> the
+    # upstream sin' cotangent arrives rounded where the stock f32-output
+    # path's does not; measured max |delta| ~0.06); dscale/dbias sum 530
+    # such rounded cotangents -> looser bound
+    for a, b, tol in zip(gr, gk, (0.12, 0.12, 1.0, 1.0)):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32), atol=tol
+        )
