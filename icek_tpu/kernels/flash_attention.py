@@ -18,12 +18,28 @@ This kernel never writes the weights to HBM at all:
             produces dQ/dK/dV in one program per (b, h).
 
 Layout: head_dim 30 is lane-hostile, so Q/K/V arrive PACKED as
-(B, T, H * 128) — each head padded to a full 128-lane slot.  The caller
+(B, T, H * slot) — each head padded to a lane-aligned slot.  The caller
 produces this layout for free by zero-padding the projection weights
 (see `pack_heads` / models/transformer.py): the projection GEMM then emits
 the packed tensor directly and no transpose/pad/slice passes ever touch the
 (B, T, H, Hd) activations (those cost ~40% of the train step when done as
 separate XLA ops).  Zero pad lanes contribute zero to every contraction.
+
+Two slot widths (resolve_slot / ICEK_FLASH_SLOT):
+  slot=128  one head per 128-lane block, grid (B, H): every dot is a
+            dense single-MXU-pass (T, 128) GEMM, but HBM stores 128/30 =
+            4.27x the real data.
+  slot=32   four heads per 128-lane block, grid (B, H_pad/4): the kernel
+            loops over the 4 head groups, isolating each head's scores by
+            LANE-MASKING one dot operand (the other operand's cross-head
+            lanes then multiply zeros) — contraction stays a dense 128
+            lanes (same MXU pass count as slot=128, masks are cheap VPU
+            selects) while HBM shrinks to 384/1280 = 3.3x less for the
+            10-head presets.  H*32 is padded up to a 128 multiple with
+            dummy heads whose projections are zero weights: their scores
+            are all zero -> uniform softmax -> AV against zero V -> zero
+            output, and the packed out-projection rows for them are zero,
+            so they contribute nothing in either direction.
 
 Sequence lengths here are small enough (Tk <= 896 across all presets) that a
 full (Tq, Tk) tile per (b, h) fits VMEM comfortably — no online-softmax
@@ -42,6 +58,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -61,6 +78,7 @@ class _Static(NamedTuple):
     head_dim: int     # true head dim (sets the softmax scale)
     rate: float       # attention-weight dropout rate
     interpret: bool
+    slot: int = LANE  # lanes per head slot (128 % slot == 0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -90,78 +108,117 @@ def _masked_softmax(s, st: _Static):
     return e / jnp.sum(e, axis=1, keepdims=True)
 
 
-def _keep_mask(shape, seed_ref, st: _Static):
+def _keep_mask(shape, seed_ref, st: _Static, group: int):
     """Regenerable dropout keep-mask from the hardware PRNG.
 
-    Seeded per (batch, head) program so the backward kernel reproduces the
-    exact mask by reseeding with the same values.
+    Seeded per (batch, head) so the backward kernel reproduces the exact
+    mask by reseeding with the same values; with grouped slots the head id
+    is (block, group-within-block).
     """
-    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0] + pid)  # Mosaic rejects multi-arg seeds here
+    hpb = LANE // st.slot
+    pid = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)) * hpb
+    pltpu.prng_seed(seed_ref[0] + pid + group)  # Mosaic: single-arg seed only
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     # top 24 bits as an int32 (Mosaic has no uint32->float cast) -> [0, 1)
     u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
     return u < (1.0 - st.rate)
 
 
-def _scores(q_ref, k_ref, st: _Static):
+def _slot_mask(shape, slot: int, group: int):
+    """True on the lanes of head-group `group` in a multi-slot block."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (lane // slot) == group
+
+
+def _mask_to(arr, slot: int, group: int):
+    """Zero every lane outside head-group `group` (a VPU select; the dense
+    128-lane contraction then only picks up this group's lanes because the
+    OTHER operand's cross-head lanes multiply these zeros)."""
+    return jnp.where(_slot_mask(arr.shape, slot, group), arr,
+                     jnp.zeros((), arr.dtype))
+
+
+def _scores(qg, k, st: _Static):
     scale = 1.0 / math.sqrt(st.head_dim)
     return (
         jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            qg, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_prec(q_ref, k_ref),
+            precision=_prec(qg, k),
         )
         * scale
     )
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, st: _Static):
-    p = _masked_softmax(_scores(q_ref, k_ref, st), st)
-    if st.rate > 0.0:
-        keep = _keep_mask(p.shape, seed_ref, st)
-        p = jnp.where(keep, p * (1.0 / (1.0 - st.rate)), 0.0)
-    o = jnp.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32,
-        precision=_prec(v_ref),
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+    hpb = LANE // st.slot
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    acc = None
+    for g in range(hpb):
+        qg = q if hpb == 1 else _mask_to(q, st.slot, g)
+        vg = v if hpb == 1 else _mask_to(v, st.slot, g)
+        p = _masked_softmax(_scores(qg, k, st), st)
+        if st.rate > 0.0:
+            keep = _keep_mask(p.shape, seed_ref, st, g)
+            p = jnp.where(keep, p * (1.0 / (1.0 - st.rate)), 0.0)
+        o = jnp.dot(
+            p.astype(v.dtype), vg, preferred_element_type=jnp.float32,
+            precision=_prec(v),
+        )
+        acc = o if acc is None else acc + o
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, st: _Static):
-    p = _masked_softmax(_scores(q_ref, k_ref, st), st)
-    if st.rate > 0.0:
-        inv = 1.0 / (1.0 - st.rate)
-        keep = _keep_mask(p.shape, seed_ref, st)
-        pd = jnp.where(keep, p * inv, 0.0)
-    else:
-        pd = p
-    do = do_ref[0]
-    # dV = dropout(P)^T dO
-    dv = jax.lax.dot_general(
-        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_prec(do_ref),
-    )
-    # dP = dO V^T, routed back through the dropout mask
-    dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_prec(do_ref, v_ref),
-    )
-    if st.rate > 0.0:
-        dp = jnp.where(keep, dp * inv, 0.0)
-    # softmax backward: dS = P * (dP - sum(dP * P))
-    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-    ds = (ds * (1.0 / math.sqrt(st.head_dim))).astype(q_ref.dtype)
-    dq = jnp.dot(ds, k_ref[0], preferred_element_type=jnp.float32,
-                 precision=_prec(k_ref))
-    dk = jax.lax.dot_general(
-        ds, q_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_prec(q_ref),
-    )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    hpb = LANE // st.slot
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    dq_acc = dk_acc = dv_acc = None
+    for g in range(hpb):
+        if hpb == 1:
+            qg, kg, dog = q, k, do
+        else:
+            qg = _mask_to(q, st.slot, g)
+            kg = _mask_to(k, st.slot, g)
+            dog = _mask_to(do, st.slot, g)
+        p = _masked_softmax(_scores(qg, k, st), st)
+        if st.rate > 0.0:
+            inv = 1.0 / (1.0 - st.rate)
+            keep = _keep_mask(p.shape, seed_ref, st, g)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            pd = p
+        # dV = dropout(P)^T dO_g (dog's cross-head lanes are zero, so the
+        # accumulated dv slots stay disjoint)
+        dv = jax.lax.dot_general(
+            pd.astype(dog.dtype), dog, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(do),
+        )
+        # dP = dO_g V^T (dense 128-lane contraction; dog masks it to g),
+        # routed back through the dropout mask
+        dp = jax.lax.dot_general(
+            dog, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(do, v),
+        )
+        if st.rate > 0.0:
+            dp = jnp.where(keep, dp * inv, 0.0)
+        # softmax backward: dS = P * (dP - sum(dP * P))
+        ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        ds = (ds * (1.0 / math.sqrt(st.head_dim))).astype(q.dtype)
+        # dQ/dK need the masked K/Q: ds is per-head-g, an unmasked operand
+        # would smear grads into other heads' lanes
+        dq = jnp.dot(ds, kg, preferred_element_type=jnp.float32,
+                     precision=_prec(k))
+        dk = jax.lax.dot_general(
+            ds, qg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(q),
+        )
+        dq_acc = dq if dq_acc is None else dq_acc + dq
+        dk_acc = dk if dk_acc is None else dk_acc + dk
+        dv_acc = dv if dv_acc is None else dv_acc + dv
+    dq_ref[0] = dq_acc.astype(dq_ref.dtype)
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
 def _block_specs(tq_p, tk_p):
@@ -227,53 +284,94 @@ def _flash_bwd(st: _Static, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def head_slot(head_dim: int) -> int:
-    """Lanes per packed head slot."""
-    return _round_up(head_dim, LANE)
+def resolve_slot(explicit: Optional[int] = None) -> int:
+    """Head-slot lane width: explicit arg > ICEK_FLASH_SLOT env > default."""
+    if explicit is not None:
+        return int(explicit)
+    env = os.environ.get("ICEK_FLASH_SLOT")
+    if env:
+        return int(env)
+    return 32
 
 
-def pack_heads(w: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+def head_slot(head_dim: int, slot: Optional[int] = None) -> int:
+    """Lanes per packed head slot: the requested width, doubled as needed
+    to cover head_dim (so e.g. slot=32 with head_dim 50 packs at 64).
+    Must divide LANE; head dims beyond LANE are unsupported."""
+    if head_dim > LANE:
+        raise ValueError(f"head_dim {head_dim} > {LANE} is unsupported")
+    slot = LANE if slot is None else slot
+    if not (0 < slot <= LANE and LANE % slot == 0):
+        raise ValueError(f"slot {slot} must divide LANE ({LANE})")
+    while slot < head_dim:
+        slot *= 2
+    return slot
+
+
+def _packed_width(num_heads: int, slot: int) -> int:
+    """Total packed lane count: head slots plus dummy-head padding up to a
+    LANE multiple (dummy heads carry zero weights -> zero contributions)."""
+    return _round_up(num_heads * slot, LANE)
+
+
+def pack_heads(w: jnp.ndarray, num_heads: int,
+               slot: Optional[int] = None) -> jnp.ndarray:
     """Zero-pad a (..., H*Hd) projection so each head occupies a full
-    lane-aligned slot: (..., H*Hd) -> (..., H*head_slot(Hd)).
+    lane-aligned slot: (..., H*Hd) -> (..., _packed_width(H, slot)).
 
     Applying this to the Q/K/V projection weights (and biases) makes the
     projection GEMM emit the kernel's packed layout directly — the padding
     costs extra MXU flops instead of a separate HBM pad pass.
     """
     hd = w.shape[-1] // num_heads
-    slot = head_slot(hd)
-    if slot == hd:
+    slot = head_slot(hd, slot)
+    total = _packed_width(num_heads, slot)
+    if slot == hd and total == w.shape[-1]:
         return w
     parts = w.reshape(w.shape[:-1] + (num_heads, hd))
     parts = jnp.pad(parts, [(0, 0)] * (parts.ndim - 1) + [(0, slot - hd)])
-    return parts.reshape(w.shape[:-1] + (num_heads * slot,))
+    out = parts.reshape(w.shape[:-1] + (num_heads * slot,))
+    if total != num_heads * slot:
+        out = jnp.pad(
+            out, [(0, 0)] * (out.ndim - 1) + [(0, total - num_heads * slot)]
+        )
+    return out
 
 
-def unpack_heads(w: jnp.ndarray, num_heads: int, head_dim: int) -> jnp.ndarray:
+def unpack_heads(w: jnp.ndarray, num_heads: int, head_dim: int,
+                 slot: Optional[int] = None) -> jnp.ndarray:
     """Inverse of pack_heads on the last axis."""
-    slot = head_slot(head_dim)
-    if slot == head_dim:
+    slot = head_slot(head_dim, slot)
+    if slot == head_dim and w.shape[-1] == num_heads * head_dim:
         return w
-    parts = w.reshape(w.shape[:-1] + (num_heads, slot))[..., :head_dim]
+    parts = w[..., :num_heads * slot]
+    parts = parts.reshape(w.shape[:-1] + (num_heads, slot))[..., :head_dim]
     return parts.reshape(w.shape[:-1] + (num_heads * head_dim,))
 
 
-def pack_rows(w: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+def pack_rows(w: jnp.ndarray, num_heads: int,
+              slot: Optional[int] = None) -> jnp.ndarray:
     """Zero-pad the FIRST axis of an (H*Hd, ...) matrix to head slots, so a
     packed attention output can hit the out-projection GEMM directly."""
     hd = w.shape[0] // num_heads
-    slot = head_slot(hd)
-    if slot == hd:
+    slot = head_slot(hd, slot)
+    total = _packed_width(num_heads, slot)
+    if slot == hd and total == w.shape[0]:
         return w
     parts = w.reshape((num_heads, hd) + w.shape[1:])
     parts = jnp.pad(parts, [(0, 0), (0, slot - hd)] + [(0, 0)] * (w.ndim - 1))
-    return parts.reshape((num_heads * slot,) + w.shape[1:])
+    out = parts.reshape((num_heads * slot,) + w.shape[1:])
+    if total != num_heads * slot:
+        out = jnp.pad(
+            out, [(0, total - num_heads * slot)] + [(0, 0)] * (w.ndim - 1)
+        )
+    return out
 
 
 def flash_mha_packed(
-    q: jnp.ndarray,                  # (B, Tq, H*head_slot) packed
-    k: jnp.ndarray,                  # (B, Tk, H*head_slot) packed
-    v: jnp.ndarray,                  # (B, Tk, H*head_slot) packed
+    q: jnp.ndarray,                  # (B, Tq, packed_width) packed
+    k: jnp.ndarray,                  # (B, Tk, packed_width) packed
+    v: jnp.ndarray,                  # (B, Tk, packed_width) packed
     *,
     head_dim: int,
     kv_len: Optional[int] = None,    # true Tk (cols beyond are masked)
@@ -281,6 +379,7 @@ def flash_mha_packed(
     dropout_rate: float = 0.0,
     seed: Optional[jnp.ndarray] = None,   # (1,) int32, required if rate > 0
     interpret: Optional[bool] = None,
+    slot: Optional[int] = None,      # lanes per head slot (see resolve_slot)
 ):
     """Fused attention over head-slot-packed tensors; returns the packed
     (B, Tq, H*head_slot) output.  Query pad rows are NOT masked: their
@@ -299,6 +398,9 @@ def flash_mha_packed(
             "1/(1-rate). Run deterministic, or on real TPU hardware."
         )
     kv_len = Tk if kv_len is None else kv_len
+    slot = head_slot(head_dim, resolve_slot(slot))
+    if HL % LANE != 0:
+        raise ValueError(f"packed width {HL} must be a multiple of {LANE}")
     sub = 16  # sublane multiple covering both float32 and bfloat16 tiles
     tq_p, tk_p = _round_up(Tq, sub), _round_up(Tk, sub)
     pad = lambda x, t: jnp.pad(x, ((0, 0), (0, t - x.shape[1]), (0, 0)))
@@ -307,7 +409,7 @@ def flash_mha_packed(
         seed = jnp.zeros((1,), jnp.int32)
     st = _Static(
         causal=causal, kv_len=kv_len, head_dim=head_dim,
-        rate=float(dropout_rate), interpret=bool(interpret),
+        rate=float(dropout_rate), interpret=bool(interpret), slot=slot,
     )
     out = _flash(st, q, k, v, seed.astype(jnp.int32))
     return out[:, :Tq]
@@ -322,6 +424,7 @@ def flash_mha(
     dropout_rate: float = 0.0,
     seed: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
+    slot: Optional[int] = None,
 ):
     """Per-head-shaped convenience wrapper (tests, ad-hoc use): packs heads
     into lane slots (a pad, no transpose), runs the kernel, unpacks.
@@ -331,12 +434,15 @@ def flash_mha(
     models/transformer.py implements.  Returns (B, Tq, H, Hd).
     """
     B, Tq, H, Hd = q.shape
-    flat = lambda x: pack_heads(x.reshape(x.shape[0], x.shape[1], H * Hd), H)
+    slot = head_slot(Hd, resolve_slot(slot))
+    flat = lambda x: pack_heads(
+        x.reshape(x.shape[0], x.shape[1], H * Hd), H, slot
+    )
     out = flash_mha_packed(
         flat(q), flat(k), flat(v), head_dim=Hd, causal=causal,
-        dropout_rate=dropout_rate, seed=seed, interpret=interpret,
+        dropout_rate=dropout_rate, seed=seed, interpret=interpret, slot=slot,
     )
-    return unpack_heads(out, H, Hd).reshape(B, Tq, H, Hd)
+    return unpack_heads(out, H, Hd, slot).reshape(B, Tq, H, Hd)
 
 
 def reference_mha(q, k, v, *, causal=False):

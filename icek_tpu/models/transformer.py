@@ -192,9 +192,13 @@ def multi_head_attention(
             kv_src = kv_in.astype(compute_dtype)
             if tk_p != Tk:
                 kv_src = jnp.pad(kv_src, ((0, 0), (0, tk_p - Tk), (0, 0)))
-        qp = q_src @ fa.pack_heads(w[:, :D], H) + fa.pack_heads(b[:D], H)
-        kp = kv_src @ fa.pack_heads(w[:, D:2 * D], H) + fa.pack_heads(b[D:2 * D], H)
-        vp = kv_src @ fa.pack_heads(w[:, 2 * D:], H) + fa.pack_heads(b[2 * D:], H)
+        slot = fa.head_slot(Hd, fa.resolve_slot())
+        qp = q_src @ fa.pack_heads(w[:, :D], H, slot) \
+            + fa.pack_heads(b[:D], H, slot)
+        kp = kv_src @ fa.pack_heads(w[:, D:2 * D], H, slot) \
+            + fa.pack_heads(b[D:2 * D], H, slot)
+        vp = kv_src @ fa.pack_heads(w[:, 2 * D:], H, slot) \
+            + fa.pack_heads(b[2 * D:], H, slot)
         rate = 0.0 if deterministic else dropout_rate
         seed = None
         if rate > 0.0 and dropout_key is not None:
@@ -203,9 +207,9 @@ def multi_head_attention(
             )
         outp = fa.flash_mha_packed(
             qp, kp, vp, head_dim=Hd, kv_len=Tk, causal=causal,
-            dropout_rate=rate, seed=seed,
+            dropout_rate=rate, seed=seed, slot=slot,
         )
-        wo = fa.pack_rows(params["out"]["w"].astype(compute_dtype), H)
+        wo = fa.pack_rows(params["out"]["w"].astype(compute_dtype), H, slot)
         y = outp @ wo + params["out"]["b"].astype(compute_dtype)
         return y[:, :Tq], None
 

@@ -112,6 +112,33 @@ def test_flash_mha_bf16(rng):
     )
 
 
+@pytest.mark.parametrize("slot", [32, 64, 128])
+def test_flash_mha_grouped_slots_match_oracle(rng, slot):
+    """Explicit slot widths (ICEK_FLASH_SLOT values) at the production head
+    geometry (H=10, Hd=30: slot=32 packs 4 heads per 128-lane block with 2
+    dummy heads of lane padding) — fwd and all grads vs the oracle."""
+    from icek_tpu.kernels import flash_attention as fa
+
+    B, tq, tk, H, Hd = 2, 19, 31, 10, 30
+    q = jnp.asarray(rng.standard_normal((B, tq, H, Hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, tk, H, Hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, tk, H, Hd)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, tq, H, Hd)).astype(np.float32))
+    out = fa.flash_mha(q, k, v, slot=slot)
+    want = fa.reference_mha(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+    grads = jax.grad(
+        lambda *a: jnp.sum(fa.flash_mha(*a, slot=slot) * g), argnums=(0, 1, 2)
+    )(q, k, v)
+    wants = jax.grad(
+        lambda *a: jnp.sum(fa.reference_mha(*a) * g), argnums=(0, 1, 2)
+    )(q, k, v)
+    for got_g, want_g in zip(grads, wants):
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(want_g), atol=5e-5
+        )
+
+
 @pytest.mark.parametrize("variant", ["geo", "knowledge"])
 def test_flash_captioner_forward_matches_stock(rng, variant):
     """captioner_forward with the flash path on (deterministic) equals the

@@ -52,9 +52,11 @@ def test_production_shape_beam_decode_deterministic():
     assert greedy_out.max() < V + E
 
 
-def test_flash_dropout_statistics():
+@pytest.mark.parametrize("slot", [32, 128])
+def test_flash_dropout_statistics(slot):
     """In-kernel PRNG attention-weight dropout: drop rate matches, survivors
-    are scaled by 1/(1-rate), output is deterministic for a fixed seed.
+    are scaled by 1/(1-rate), output is deterministic for a fixed seed —
+    for both the per-head (128) and grouped (32) slot layouts.
 
     v is a (Tk x Hd) basis so the output reads the dropped weight matrix
     directly: O[b,q,h,t] = dropout(P)[b,h,q,t] for t < Tk <= Hd.
@@ -69,9 +71,10 @@ def test_flash_dropout_statistics():
         jnp.eye(Tk, Hd, dtype=jnp.float32)[None, :, None, :], (B, Tk, H, Hd)
     )
     seed = jnp.array([1234], jnp.int32)
-    p = np.asarray(fa.flash_mha(q, k, v))[..., :Tk]          # rate 0: raw P
-    pd = np.asarray(fa.flash_mha(q, k, v, dropout_rate=rate, seed=seed))[..., :Tk]
-    pd2 = np.asarray(fa.flash_mha(q, k, v, dropout_rate=rate, seed=seed))[..., :Tk]
+    mha = lambda **kw: fa.flash_mha(q, k, v, slot=slot, **kw)
+    p = np.asarray(mha())[..., :Tk]                           # rate 0: raw P
+    pd = np.asarray(mha(dropout_rate=rate, seed=seed))[..., :Tk]
+    pd2 = np.asarray(mha(dropout_rate=rate, seed=seed))[..., :Tk]
     np.testing.assert_array_equal(pd, pd2)                    # deterministic
     assert (p > 0).all()                                      # softmax is positive
     drop_frac = (pd == 0).mean()
@@ -82,13 +85,15 @@ def test_flash_dropout_statistics():
     )
     # a different seed gives a different mask
     pd3 = np.asarray(
-        fa.flash_mha(q, k, v, dropout_rate=rate, seed=jnp.array([99], jnp.int32))
+        mha(dropout_rate=rate, seed=jnp.array([99], jnp.int32))
     )[..., :Tk]
     assert (pd3 == 0).mean() > 0.1 and ((pd3 == 0) != (pd == 0)).mean() > 0.1
 
 
-def test_flash_dropout_fwd_bwd_mask_consistency():
-    """The backward kernel regenerates the forward's exact dropout mask.
+@pytest.mark.parametrize("slot", [32, 128])
+def test_flash_dropout_fwd_bwd_mask_consistency(slot):
+    """The backward kernel regenerates the forward's exact dropout mask
+    (per-head and grouped slot layouts).
 
     The output is linear in v for a fixed mask, so <f(v), g> == <v, df/dv(g)>
     holds exactly iff fwd and bwd saw the same mask.
@@ -103,7 +108,8 @@ def test_flash_dropout_fwd_bwd_mask_consistency():
     g = jnp.asarray(rng.standard_normal((B, Tq, H, Hd)).astype(np.float32))
     seed = jnp.array([7], jnp.int32)
 
-    f = lambda vv: fa.flash_mha(q, k, vv, dropout_rate=rate, seed=seed)
+    f = lambda vv: fa.flash_mha(q, k, vv, dropout_rate=rate, seed=seed,
+                                slot=slot)
     out, vjp = jax.vjp(f, v)
     (dv,) = vjp(g)
     lhs = float(jnp.sum(out * g))
