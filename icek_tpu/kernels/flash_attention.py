@@ -94,18 +94,26 @@ def _prec(*operands):
     return None
 
 
-def _masked_softmax(s, st: _Static):
-    """Masked softmax over the last axis; same op order in fwd and bwd."""
-    tq, tk = s.shape
+def _valid_mask(tq: int, tk: int, st: _Static):
+    """(Tq, Tk) bool score mask — group-independent, so computed ONCE per
+    program (not per head group)."""
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
     valid = col < st.kv_len
     if st.causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
         valid = jnp.logical_and(valid, col <= row)
+    return valid
+
+
+def _softmax_parts(s, valid):
+    """Masked softmax split as (numerator e, per-row reciprocal r): callers
+    multiply e*r instead of dividing per element (VPU divide is multi-op;
+    the reciprocal is one (Tq, 1) op), and can fold row-constant factors
+    (dropout 1/(1-rate)) into r for free."""
     s = jnp.where(valid, s, NEG)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
-    return e / jnp.sum(e, axis=1, keepdims=True)
+    return e, 1.0 / jnp.sum(e, axis=1, keepdims=True)
 
 
 def _keep_mask(shape, seed_ref, st: _Static, group: int):
@@ -119,48 +127,61 @@ def _keep_mask(shape, seed_ref, st: _Static, group: int):
     pid = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)) * hpb
     pltpu.prng_seed(seed_ref[0] + pid + group)  # Mosaic: single-arg seed only
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # top 24 bits as an int32 (Mosaic has no uint32->float cast) -> [0, 1)
-    u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
-    return u < (1.0 - st.rate)
+    # keep iff the top 24 bits < (1-rate)*2^24 — a pure int compare (the
+    # equivalent float formulation costs an int->f32 convert + multiply)
+    thresh = int((1.0 - st.rate) * (1 << 24))
+    return pltpu.bitcast(bits >> 8, jnp.int32) < thresh
 
 
-def _slot_mask(shape, slot: int, group: int):
-    """True on the lanes of head-group `group` in a multi-slot block."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    return (lane // slot) == group
+def _group_ids(rows: int, slot: int):
+    """(rows, LANE) int32 head-group id per lane (hoisted out of the group
+    loop; per group the operand mask is then a single compare + select)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+    return lane // slot
 
 
-def _mask_to(arr, slot: int, group: int):
+def _mask_to(arr, grp_ids, group: int, scale: float = 1.0):
     """Zero every lane outside head-group `group` (a VPU select; the dense
     128-lane contraction then only picks up this group's lanes because the
-    OTHER operand's cross-head lanes multiply these zeros)."""
-    return jnp.where(_slot_mask(arr.shape, slot, group), arr,
-                     jnp.zeros((), arr.dtype))
+    OTHER operand's cross-head lanes multiply these zeros).  `scale` folds
+    a scalar factor into the kept lanes (used for the softmax 1/sqrt(hd):
+    scaling the (T, 128) operand is ~Tk/128 x cheaper than scaling the
+    (Tq, Tk) score matrix)."""
+    kept = arr if scale == 1.0 else arr * jnp.asarray(scale, arr.dtype)
+    return jnp.where(grp_ids == group, kept, jnp.zeros((), arr.dtype))
 
 
-def _scores(qg, k, st: _Static):
-    scale = 1.0 / math.sqrt(st.head_dim)
-    return (
-        jax.lax.dot_general(
-            qg, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_prec(qg, k),
-        )
-        * scale
+def _scores(qg, k):
+    return jax.lax.dot_general(
+        qg, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_prec(qg, k),
     )
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, st: _Static):
     hpb = LANE // st.slot
+    scale = 1.0 / math.sqrt(st.head_dim)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    valid = _valid_mask(q.shape[0], k.shape[0], st)
+    gq = _group_ids(q.shape[0], st.slot)
+    gk = _group_ids(k.shape[0], st.slot)
     acc = None
     for g in range(hpb):
-        qg = q if hpb == 1 else _mask_to(q, st.slot, g)
-        vg = v if hpb == 1 else _mask_to(v, st.slot, g)
-        p = _masked_softmax(_scores(qg, k, st), st)
+        # the scale rides the Q operand into the dot (free vs scaling s)
+        if hpb == 1:
+            qg = q * jnp.asarray(scale, q.dtype)
+            vg = v
+        else:
+            qg = _mask_to(q, gq, g, scale)
+            vg = _mask_to(v, gk, g)
+        e, r = _softmax_parts(_scores(qg, k), valid)
         if st.rate > 0.0:
-            keep = _keep_mask(p.shape, seed_ref, st, g)
-            p = jnp.where(keep, p * (1.0 / (1.0 - st.rate)), 0.0)
+            keep = _keep_mask(e.shape, seed_ref, st, g)
+            r = r * (1.0 / (1.0 - st.rate))     # (Tq, 1): free
+            p = jnp.where(keep, e, 0.0) * r
+        else:
+            p = e * r
         o = jnp.dot(
             p.astype(v.dtype), vg, preferred_element_type=jnp.float32,
             precision=_prec(v),
@@ -172,20 +193,26 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, st: _Static):
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, st: _Static):
     hpb = LANE // st.slot
+    scale = 1.0 / math.sqrt(st.head_dim)
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    valid = _valid_mask(q.shape[0], k.shape[0], st)
+    gq = _group_ids(q.shape[0], st.slot)
+    gk = _group_ids(k.shape[0], st.slot)
     dq_acc = dk_acc = dv_acc = None
     for g in range(hpb):
         if hpb == 1:
-            qg, kg, dog = q, k, do
+            qg = q * jnp.asarray(scale, q.dtype)
+            kg, dog = k, do
         else:
-            qg = _mask_to(q, st.slot, g)
-            kg = _mask_to(k, st.slot, g)
-            dog = _mask_to(do, st.slot, g)
-        p = _masked_softmax(_scores(qg, k, st), st)
+            qg = _mask_to(q, gq, g, scale)  # qg carries the softmax scale
+            kg = _mask_to(k, gk, g)
+            dog = _mask_to(do, gq, g)
+        e, r = _softmax_parts(_scores(qg, k), valid)
+        p = e * r
         if st.rate > 0.0:
             inv = 1.0 / (1.0 - st.rate)
             keep = _keep_mask(p.shape, seed_ref, st, g)
-            pd = jnp.where(keep, p * inv, 0.0)
+            pd = jnp.where(keep, p, 0.0) * inv
         else:
             pd = p
         # dV = dropout(P)^T dO_g (dog's cross-head lanes are zero, so the
@@ -201,14 +228,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
             preferred_element_type=jnp.float32, precision=_prec(do, v),
         )
         if st.rate > 0.0:
-            dp = jnp.where(keep, dp * inv, 0.0)
-        # softmax backward: dS = P * (dP - sum(dP * P))
-        ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-        ds = (ds * (1.0 / math.sqrt(st.head_dim))).astype(q.dtype)
+            dp = jnp.where(keep, dp, 0.0) * inv
+        # softmax backward: dS = P * (dP - sum(dP * P)), wrt the PRE-scaled
+        # scores qg.k — so dk takes qg (scale included) directly and dq is
+        # rescaled once per group on the small (Tq, 128) result
+        ds = (p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))).astype(q.dtype)
         # dQ/dK need the masked K/Q: ds is per-head-g, an unmasked operand
         # would smear grads into other heads' lanes
         dq = jnp.dot(ds, kg, preferred_element_type=jnp.float32,
-                     precision=_prec(k))
+                     precision=_prec(k)) * scale
         dk = jax.lax.dot_general(
             ds, qg, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_prec(q),
