@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-STEP_MS = 127.8  # measured train-step time at batch 256 (BASELINE.md)
+STEP_MS = 83.5  # measured train-step time at batch 256 (BASELINE.md r3)
 
 
 def build_fixture(root, n, E=301, T=32, D=300):
