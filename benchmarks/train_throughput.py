@@ -55,6 +55,17 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic",
         cfg = cfg.replace(
             train=dataclasses.replace(cfg.train, use_rbg_dropout=rbg_env == "1")
         )
+    geom = os.environ.get("ICEK_GEOM")  # "<emb_dim>x<heads>", e.g. "384x12":
+    # from-scratch lane-aligned geometry (SURVEY §7: "measure whether padding
+    # internals to 384/512 helps the from-scratch training mode").  Not
+    # checkpoint-compatible with the reference's d=300/10-head models.
+    if geom:
+        emb_dim, num_heads = (int(v) for v in geom.split("x"))
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, emb_dim=emb_dim, num_heads=num_heads
+            )
+        )
     flat_env = os.environ.get("ICEK_FLAT")  # A/B: flattened clip+Adam
     flat = None if flat_env is None else flat_env == "1"
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
@@ -77,7 +88,9 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic",
         "caption_mask": np.zeros((batch, T), dtype=np.int32),
         "lengths": np.full((batch,), T, dtype=np.int32),
         "entity_features": ents,
-        "image_tokens": rng.standard_normal((batch, 196, 300)).astype(np.float32),
+        "image_tokens": rng.standard_normal(
+            (batch, 196, cfg.model.emb_dim)
+        ).astype(np.float32),
     }
     if F:
         facts = np.zeros((batch, F, 3), dtype=np.float32)
@@ -116,6 +129,7 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic",
             float(loss)
     return {"backend": jax.default_backend(), "batch": batch,
             "preset": preset,
+            "geometry": f"{cfg.model.emb_dim}x{cfg.model.num_heads}",
             "rbg_dropout": step_lib.resolve_rbg_dropout(cfg.train.use_rbg_dropout),
             "flat_optimizer": step_lib.resolve_flat_optimizer(flat),
             "step_ms": round(best * 1000, 2),
