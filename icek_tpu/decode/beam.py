@@ -358,8 +358,12 @@ def beam_decode(
     )
     pos_table = jnp.asarray(tfm.sinusoidal_positions(max_len, D))
     sqrt_d = math.sqrt(D)
-    subj = (
-        ctx.fact_features[:, :, 1].astype(jnp.int32)
+    # Loop-invariant (B, F, E) subject one-hot: fact_before is then an MXU
+    # contraction per step instead of a scalar-gather custom call, which the
+    # r3 profile measured at 2.7 ms/step = 46% of the news beam step body
+    # (see captioner.subject_onehot).
+    subj_oh = (
+        cap.subject_onehot(ctx.fact_features, num_entity_rows)
         if ctx.fact_features is not None
         else None
     )
@@ -453,10 +457,7 @@ def beam_decode(
             )
         fact_before = None
         if cfg.has_facts:
-            fact_before = jnp.take_along_axis(
-                seen, jnp.broadcast_to(subj[:, None, :], seen.shape[:2] + subj.shape[-1:]),
-                axis=2,
-            )  # (B, K, F)
+            fact_before = jnp.einsum("bke,bfe->bkf", seen, subj_oh)  # (B, K, F)
         if use_fused_scores:
             # Pallas fused vocab-matmul + per-hypothesis top-K + logsumexp:
             # the (B*K, S) score tensor never reaches HBM.  Global top-K is

@@ -205,8 +205,11 @@ def greedy_decode(
         jnp.zeros((B, cfg.num_predicates), jnp.float32)
         if cfg.has_facts else jnp.zeros((B, 1), jnp.float32)
     )
-    subj = (
-        ctx.fact_features[:, :, 1].astype(jnp.int32)
+    # Loop-invariant (B, F, E) subject one-hot: fact_before is then an MXU
+    # contraction per step instead of a scalar-gather custom call (see
+    # captioner.subject_onehot).
+    subj_oh = (
+        cap.subject_onehot(ctx.fact_features, num_entity_rows)
         if ctx.fact_features is not None else None
     )
     finished = jnp.zeros((B,), bool)
@@ -232,7 +235,7 @@ def greedy_decode(
         )
         fact_before = None
         if cfg.has_facts:
-            fact_before = jnp.take_along_axis(seen, subj, axis=1)  # (B, F)
+            fact_before = jnp.einsum("be,bfe->bf", seen, subj_oh)  # (B, F)
         if use_fused_scores:
             from icek_tpu.kernels import copy_scores as cs
 

@@ -229,6 +229,25 @@ def seen_entity_mask(caption_ids: jnp.ndarray, vocab_size: int, num_entity_rows:
     return (exclusive > 0).astype(jnp.float32)
 
 
+def subject_onehot(
+    fact_features: jnp.ndarray,     # (B, F, 3)
+    num_entity_rows: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(B, F, E) one-hot of each fact's subject-entity row.
+
+    `fact_before[..., f] = seen[..., subj[f]]` looks like a gather, but XLA
+    lowers the element-indexed `take_along_axis` inside decode loops to a
+    scalar-gather custom call (~7 ns/element: 2.7 ms/step at the news
+    shapes = 46% of the whole beam step body, profiled r3).  Contracting
+    the seen mask against this precomputed one-hot on the MXU instead is
+    bit-exact — both operands are 0/1 and each output element has exactly
+    one contributing term, so no accumulation happens — and the one-hot is
+    loop-invariant (subject indices are fixed per batch)."""
+    subj = fact_features[:, :, 1].astype(jnp.int32)
+    return jax.nn.one_hot(subj, num_entity_rows, dtype=dtype)
+
+
 def context_indicators(
     caption_ids: jnp.ndarray,       # (B, T)
     fact_features: jnp.ndarray,     # (B, F, 3)
@@ -238,11 +257,8 @@ def context_indicators(
 ):
     """Returns (entity_idx_before (B,T,F), predicate_indicator (B,T,P))."""
     seen = seen_entity_mask(caption_ids, vocab_size, num_entity_rows)
-    subj = fact_features[:, :, 1].astype(jnp.int32)
-    fact_before = jnp.take_along_axis(
-        seen, jnp.broadcast_to(subj[:, None, :], seen.shape[:2] + subj.shape[-1:]),
-        axis=2,
-    )  # (B, T, F)
+    subj_oh = subject_onehot(fact_features, num_entity_rows)
+    fact_before = jnp.einsum("bte,bfe->btf", seen, subj_oh)  # (B, T, F)
     pred_one_hot = jax.nn.one_hot(
         fact_features[:, :, 2].astype(jnp.int32), num_predicates, dtype=jnp.float32
     )  # (B, F, P)
@@ -255,10 +271,12 @@ def indicators_from_seen(
     fact_features: jnp.ndarray,     # (B, F, 3)
     num_predicates: int,
     pred_onehot: Optional[jnp.ndarray] = None,   # precomputed (B, F, P)
+    subj_onehot_: Optional[jnp.ndarray] = None,  # precomputed (B, F, E)
 ):
     """Single-step variant for the decode loop: the carry holds `seen`."""
-    subj = fact_features[:, :, 1].astype(jnp.int32)
-    fact_before = jnp.take_along_axis(seen, subj, axis=1)  # (B, F)
+    if subj_onehot_ is None:
+        subj_onehot_ = subject_onehot(fact_features, seen.shape[-1])
+    fact_before = jnp.einsum("be,bfe->bf", seen, subj_onehot_)  # (B, F)
     if pred_onehot is None:
         pred_onehot = jax.nn.one_hot(
             fact_features[:, :, 2].astype(jnp.int32), num_predicates,
