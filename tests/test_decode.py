@@ -420,3 +420,41 @@ def test_top_k_two_stage_matches_flat(rng):
     got_v, got_i = topk.top_k_two_stage(total, 5)
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_subject_onehot_contraction_bit_exact(rng):
+    """The one-hot MXU contraction that replaced the per-step fact_before
+    gather (r3: the gather was 46% of the news beam step) must be BIT-exact
+    against the take_along_axis formulation: operands are 0/1 and each
+    output element has exactly one contributing term, so no accumulation
+    (and hence no rounding) occurs."""
+    from icek_tpu.models import captioner as cap
+
+    B, F, E, T, K = 4, 301, 101, 7, 5
+    ff = np.zeros((B, F, 3), np.float32)
+    ff[:, :, 1] = rng.integers(0, E, (B, F))
+    ff = jnp.asarray(ff)
+    subj = np.asarray(ff[:, :, 1]).astype(np.int64)
+    oh = cap.subject_onehot(ff, E)
+
+    # (B, E) seen mask — greedy step shape.
+    seen1 = jnp.asarray((rng.random((B, E)) < 0.3).astype(np.float32))
+    got1 = jnp.einsum("be,bfe->bf", seen1, oh)
+    want1 = np.take_along_axis(np.asarray(seen1), subj, axis=1)
+    np.testing.assert_array_equal(np.asarray(got1), want1)
+
+    # (B, K, E) — beam step shape.
+    seen2 = jnp.asarray((rng.random((B, K, E)) < 0.3).astype(np.float32))
+    got2 = jnp.einsum("bke,bfe->bkf", seen2, oh)
+    want2 = np.take_along_axis(
+        np.asarray(seen2), np.broadcast_to(subj[:, None, :], (B, K, F)), axis=2
+    )
+    np.testing.assert_array_equal(np.asarray(got2), want2)
+
+    # (B, T, E) — training context_indicators shape.
+    seen3 = jnp.asarray((rng.random((B, T, E)) < 0.3).astype(np.float32))
+    got3 = jnp.einsum("bte,bfe->btf", seen3, oh)
+    want3 = np.take_along_axis(
+        np.asarray(seen3), np.broadcast_to(subj[:, None, :], (B, T, F)), axis=2
+    )
+    np.testing.assert_array_equal(np.asarray(got3), want3)
