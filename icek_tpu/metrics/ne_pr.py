@@ -100,6 +100,25 @@ class NamedEntityPR:
         self._spacy = _load_spacy_ner()
         self._truecase = _load_truecaser()
         self._proper = list(proper_nouns)
+        if self._spacy is None or self._truecase is None:
+            import warnings
+
+            missing = [
+                name
+                for name, mod in (
+                    ("spaCy en_core_web_sm", self._spacy),
+                    ("truecase", self._truecase),
+                )
+                if mod is None
+            ]
+            warnings.warn(
+                "NE precision/recall running with deterministic fallbacks "
+                f"for: {', '.join(missing)}. Numbers are NOT comparable "
+                "with environments where the reference's spaCy/truecase "
+                "stack is installed (news-knowledge-aware/"
+                "compute_eval_metrics.py:44-89).",
+                stacklevel=2,
+            )
 
     def truecase(self, text: str) -> str:
         if self._truecase is not None:
@@ -155,6 +174,10 @@ class NamedEntityPR:
         results["entities_per_caption"] = (
             sum(num_unique) / len(num_unique) if num_unique else 0.0
         )
+        # Record which backends scored, so reported numbers are attributable
+        # across environments (spaCy/truecase vs the deterministic fallbacks).
+        results["ner_backend"] = "spacy" if self._spacy else "fallback"
+        results["truecase_backend"] = "truecase" if self._truecase else "fallback"
         log(
             "Overall number of generated unique entities per caption: "
             f"{results['entities_per_caption']}"
