@@ -301,6 +301,7 @@ def copy_scores(
     fact_before: Optional[jnp.ndarray] = None,       # (B, T, F)
     predicate_indicator: Optional[jnp.ndarray] = None,  # (B, T, P)
     compute_dtype=jnp.float32,
+    out_dtype=jnp.float32,
 ):
     """Concatenated logits over [V | E | F] (geo models.py:291-313,
     knowledge models.py:420-455).
@@ -331,7 +332,15 @@ def copy_scores(
         # the indicator gates the contraction but not the bias
         preds_fact = contracted * fact_before + params["fc_fact"]["b"][0]
         pieces.append(preds_fact)
-    return jnp.concatenate([p.astype(jnp.float32) for p in pieces], axis=-1)
+    # out_dtype=f32 (default) is lossless when pieces are bf16 — the cast
+    # widens already-rounded values — and keeps decode's f32 log-prob math.
+    # Training passes out_dtype=compute_dtype instead: declaring the
+    # (B, T, S) scores f32 made the backward materialize an f32 cotangent
+    # of the full score tensor (1 GB/step at the knowledge shapes, ~6 ms of
+    # pad/convert/copy per step, r3 profile) before re-rounding to bf16 for
+    # the GEMM backwards; a bf16 declaration feeds _token_nll's bf16-native
+    # custom VJP directly.
+    return jnp.concatenate([p.astype(out_dtype) for p in pieces], axis=-1)
 
 
 # --------------------------------------------------------------------------
@@ -395,8 +404,9 @@ def captioner_forward(
     deterministic: bool = True,
     compute_dtype=jnp.float32,
     pos_table: Optional[jnp.ndarray] = None,
+    score_dtype=jnp.float32,
 ):
-    """Teacher-forced pass returning (B, T, V+E[+F]) logits.
+    """Teacher-forced pass returning (B, T, V+E[+F]) logits in score_dtype.
 
     Unlike the reference there is no length sort / pack_padded — the loss
     masks padding instead, which is XLA-static and numerically identical.
@@ -426,6 +436,10 @@ def captioner_forward(
             entity_features.shape[1], cfg.num_predicates,
         )
         return copy_scores(
-            params, cfg, h, ents, facts, fact_before, pred_ind, compute_dtype
+            params, cfg, h, ents, facts, fact_before, pred_ind, compute_dtype,
+            out_dtype=score_dtype,
         )
-    return copy_scores(params, cfg, h, ents, compute_dtype=compute_dtype)
+    return copy_scores(
+        params, cfg, h, ents, compute_dtype=compute_dtype,
+        out_dtype=score_dtype,
+    )

@@ -246,13 +246,15 @@ def make_train_step(
             batch["caption_ids"], batch["caption_mask"], tokens,
             batch["entity_features"], batch.get("fact_features"),
             rng=rng, deterministic=False, compute_dtype=compute_dtype,
+            # bf16 passes keep the (B, T, V+E+F) score tensor bf16 through
+            # the loss; _token_nll's fwd/bwd read/write bf16 with f32
+            # accumulation.  Declaring f32 and downcasting afterwards is NOT
+            # equivalent: the backward then materializes an f32 cotangent of
+            # the full score tensor (the r3 profile showed a 1 GB/step
+            # pad+convert at the knowledge shapes) before re-rounding.
+            # f32 (parity) passes are unchanged.
+            score_dtype=compute_dtype,
         )
-        # bf16 passes keep the (B, T, V+E+F) score tensor in bf16 through
-        # the loss: the cast fuses into the vocab-head bias add (the f32
-        # score tensor is never written to HBM), and _token_nll's fwd/bwd
-        # read/write bf16 with f32 accumulation — halving the HBM traffic
-        # of the largest tensor in the step.  f32 (parity) passes no-op.
-        scores = scores.astype(compute_dtype)
         loss, count = caption_loss(
             scores, batch["caption_ids"], batch["lengths"], pad_id
         )
@@ -327,6 +329,7 @@ def make_train_step(
             batch["caption_ids"], batch["caption_mask"], tokens,
             batch["entity_features"], batch.get("fact_features"),
             deterministic=True, compute_dtype=compute_dtype,
+            score_dtype=compute_dtype,
         )
         return caption_loss(scores, batch["caption_ids"], batch["lengths"], pad_id)
 
