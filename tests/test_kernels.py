@@ -392,3 +392,48 @@ def test_fused_norm_dropout_rejected_on_interpret():
         )
     with pytest.raises(ValueError, match="Mosaic interpreter"):
         fused_norm.hw_dropout(x, rate=0.2, seed=seed, interpret=True)
+
+
+def test_score_dtype_cast_is_lossless(rng):
+    """score_dtype=compute_dtype (the r3 training declaration) must give
+    scores whose f32 widening equals the score_dtype=f32 default: the
+    pieces are computed in compute_dtype either way, so the final cast is
+    the only difference and widening bf16 -> f32 is exact."""
+    import dataclasses
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.models import captioner as cap
+
+    cfg = config_lib.k_georic().model
+    cfg_small = dataclasses.replace(cfg, emb_dim=40, num_heads=4,
+                                    decoder_ffn_dim=64, encoder_ffn_dim=64,
+                                    num_layers=2, type_vocab=50,
+                                    num_predicates=20)
+    V, E, F, B, T = 60, 9, 5, 2, 7
+    params = cap.init_captioner_params(jax.random.PRNGKey(0), cfg_small, V)
+    tokens = jnp.asarray(rng.standard_normal((B, 12, 40)).astype(np.float32))
+    ents = np.zeros((B, E, 5), np.float32)
+    ents[:, :, 0] = np.arange(E)
+    ents[:, :, 4] = rng.integers(0, 50, (B, E))
+    facts = np.zeros((B, F, 3), np.float32)
+    facts[:, :, 0] = np.arange(F)
+    facts[:, :, 1] = rng.integers(0, E, (B, F))
+    facts[:, :, 2] = rng.integers(0, 20, (B, F))
+    facts = jnp.asarray(facts)
+    caps = jnp.asarray(rng.integers(1, V, (B, T)).astype(np.int32))
+    mask = jnp.zeros((B, T), jnp.int32)
+
+    def fwd(score_dtype):
+        return cap.captioner_forward(
+            params, cfg_small, V, 0, caps, mask, tokens, jnp.asarray(ents),
+            facts, deterministic=True, compute_dtype=jnp.bfloat16,
+            score_dtype=score_dtype,
+        )
+
+    low = fwd(jnp.bfloat16)
+    high = fwd(jnp.float32)
+    assert low.dtype == jnp.bfloat16
+    assert high.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(low.astype(jnp.float32)), np.asarray(high)
+    )
