@@ -91,6 +91,19 @@ def main():
         out = {"in_memory": measure(mem)}
         stream = streaming.StreamingCaptionDataset(root, base, "TRAIN")
         out["streaming"] = measure(stream)
+        stream.close()  # release the f32 cache so it can be rewritten
+        # f16 token cache (what bf16 training writes, train/loop.py): halves
+        # the dominant per-batch byte stream (196x300 tokens per row)
+        import h5py
+
+        with h5py.File(
+            streaming.token_cache_path(root, base, "TRAIN"), "w"
+        ) as h:
+            h.create_dataset(
+                "image_tokens", data=tokens.astype(np.float16)
+            )
+        stream16 = streaming.StreamingCaptionDataset(root, base, "TRAIN")
+        out["streaming_f16_cache"] = measure(stream16)
         for k, v in out.items():
             print(json.dumps({k: v}))
     finally:

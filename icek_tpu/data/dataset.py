@@ -83,13 +83,21 @@ class CaptionDataset:
         )
         return image_ops.normalize_for_model(raw[inverse])
 
-    def cache_image_tokens(self, encode_fn, batch_size: int = 32):
+    def cache_image_tokens(self, encode_fn, batch_size: int = 32,
+                           dtype=np.float32):
         """Run the frozen encoder over the whole split once; afterwards
-        batches carry (196, D) token features instead of raw images."""
+        batches carry (196, D) token features instead of raw images.
+
+        dtype=float16 halves the cache RAM and every per-batch gather /
+        host->device transfer; bf16 training re-rounds the tokens anyway
+        (the train step casts to compute dtype on entry), so f16 storage
+        of bf16-computed features loses nothing in practice."""
         chunks = []
         for start in range(0, len(self), batch_size):
             idx = np.arange(start, min(start + batch_size, len(self)))
-            chunks.append(np.asarray(encode_fn(self.image_batch(idx))))
+            chunks.append(
+                np.asarray(encode_fn(self.image_batch(idx))).astype(dtype)
+            )
         self.image_tokens = np.concatenate(chunks, axis=0)
 
     def index_batches(self, batch_size: int, shuffle: bool, seed: int = 0,

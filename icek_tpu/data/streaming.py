@@ -134,6 +134,14 @@ class StreamingCaptionDataset:
             self._token_file = h5py.File(tokens, "r")
             self._tokens = self._token_file["image_tokens"]
 
+    def close(self):
+        """Release the HDF5 handles (store, images, token cache)."""
+        for attr in ("_store", "_h5", "_token_file"):
+            f = getattr(self, attr, None)
+            if f is not None:
+                f.close()
+        self._tokens = None
+
     def __len__(self):
         return self.arrays.size
 
@@ -273,9 +281,12 @@ class StreamingCaptionDataset:
         if getattr(self, "_epoch_buffers", None) is None:
             self._epoch_buffers = {}
         if bkey not in self._epoch_buffers:
+            # buffers follow the source dtype: an f16 token cache stays f16
+            # through the window buffer, ring and host->device transfer
+            # (read_direct into a mismatched dtype would also force h5py
+            # into a slow converting path)
             buf = {
-                k: np.empty((max_rows,) + d.shape[1:],
-                            np.float32 if k == "image_tokens" else d.dtype)
+                k: np.empty((max_rows,) + d.shape[1:], d.dtype)
                 for k, d in sources.items()
             }
             ring = [

@@ -229,8 +229,18 @@ def train(
                 compute_dtype=compute_dtype,
             )
         )
+        # bf16 training re-rounds the tokens on step entry anyway, so the
+        # cache stores f16 there — halving cache RAM/disk and the per-batch
+        # gather + host->device bytes (the streaming loader was otherwise
+        # marginally slower than the r3 step: 85.7 vs 83.5 ms/batch at
+        # geo batch 256).  f32 passes keep f32 for exactness.
+        cache_dtype = (
+            np.float16 if compute_dtype == jnp.bfloat16 else np.float32
+        )
         for split_data in (train_data, val_data):
-            split_data.cache_image_tokens(lambda x: encode(jnp.asarray(x)))
+            split_data.cache_image_tokens(
+                lambda x: encode(jnp.asarray(x)), dtype=cache_dtype
+            )
 
     train_step, eval_step = step_lib.make_train_step(
         cfg, vocab_size, pad_id, optimizer,

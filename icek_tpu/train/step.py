@@ -221,7 +221,11 @@ def make_train_step(
 
     def image_tokens(encoder_params, batch):
         if not encode_images:
-            return batch["image_tokens"], None
+            # cached tokens may arrive f16 (disk/RAM cache stores half
+            # precision when training in bf16); cast on entry so the memory
+            # concat stays in compute dtype.  Value-identical to the old
+            # cast at the cross-KV projection (no arithmetic in between).
+            return batch["image_tokens"].astype(compute_dtype), None
         if bn_train_mode:
             tokens, new_enc = resnet.resnet_encode(
                 encoder_params, batch["images"], mcfg.encoded_image_size,
@@ -318,7 +322,7 @@ def make_train_step(
         # stats — the reference's validate() calls encoder.eval()
         # (geo-aware/train.py:328-330) regardless of bn_train_mode.
         if not encode_images:
-            tokens = batch["image_tokens"]
+            tokens = batch["image_tokens"].astype(compute_dtype)
         else:
             tokens = resnet.resnet_encode(
                 encoder_params, batch["images"], mcfg.encoded_image_size,
