@@ -126,6 +126,12 @@ class TrainConfig:
     # attention kernel eliminated for attention-weight dropout).  None =
     # auto: on for TPU backends, off on CPU.
     use_rbg_dropout: Optional[bool] = None
+    # When the train split's cached image tokens fit in this budget, keep
+    # the WHOLE cache in device HBM and ship only int32 row ids per batch —
+    # the (B, 196, D) gather happens in-graph, so the dominant data stream
+    # never crosses the host->device link (~30 MB/step at batch 256).
+    # 0 disables.  Single-process, frozen-encoder training only.
+    device_token_cache_gb: float = 4.0
     data_axis: str = "data"          # mesh axis for batch sharding
     model_axis: str = "model"        # mesh axis for vocab/embedding sharding
 

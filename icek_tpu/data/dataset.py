@@ -140,7 +140,10 @@ class CaptionDataset:
         if a.fact_features is not None:
             out["fact_features"] = a.fact_features[safe]
         if with_images:
-            if self.image_tokens is not None:
+            if getattr(self, "use_token_rows", False):
+                # device-resident token cache: ship row ids, gather in-graph
+                out["token_rows"] = safe.astype(np.int32)
+            elif self.image_tokens is not None:
                 out["image_tokens"] = self.image_tokens[safe]
             else:
                 out["images"] = self.image_batch(safe)

@@ -265,7 +265,8 @@ class StreamingCaptionDataset:
         if a.fact_features is not None:
             sources["fact_features"] = a.fact_features
         raw_images = False
-        if with_images:
+        token_rows = getattr(self, "use_token_rows", False)
+        if with_images and not token_rows:
             if self._tokens is not None:
                 sources["image_tokens"] = self._tokens
             else:
@@ -276,8 +277,8 @@ class StreamingCaptionDataset:
         # per dataset at a time): steady-state host allocation is zero,
         # which matters on overcommitted hosts where fresh pages fault in
         # slowly
-        bkey = (batch_size, with_images, block_rows, window_blocks,
-                ring_depth)
+        bkey = (batch_size, with_images, token_rows, block_rows,
+                window_blocks, ring_depth)
         if getattr(self, "_epoch_buffers", None) is None:
             self._epoch_buffers = {}
         if bkey not in self._epoch_buffers:
@@ -289,6 +290,12 @@ class StreamingCaptionDataset:
                 k: np.empty((max_rows,) + d.shape[1:], d.dtype)
                 for k, d in sources.items()
             }
+            if token_rows and with_images:
+                # device-resident token cache (train/loop.py): batches carry
+                # the GLOBAL row ids; the train step gathers the (B, 196, D)
+                # tokens in-graph from HBM, so the big stream never touches
+                # the host pipeline or the host->device link.
+                buf["token_rows"] = np.empty((max_rows,), np.int32)
             ring = [
                 {k: np.empty((batch_size,) + v.shape[1:], v.dtype)
                  for k, v in buf.items()}
@@ -320,6 +327,10 @@ class StreamingCaptionDataset:
                 cnt = hi - s0
                 for k, d in sources.items():
                     d.read_direct(buf[k], np.s_[s0:hi], np.s_[pos:pos + cnt])
+                if "token_rows" in buf:
+                    buf["token_rows"][pos:pos + cnt] = np.arange(
+                        s0, hi, dtype=np.int32
+                    )
                 pos += cnt
             m = pos
             order = rng.permutation(m) if shuffle else np.arange(m)

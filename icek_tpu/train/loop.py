@@ -57,12 +57,28 @@ def _batch_assembler(mesh):
 
     With a mesh, each process's local loader shard is assembled into global
     sharded jax.Arrays (parallel/mesh.py::global_batch) on the prefetch
-    thread, overlapping the device puts with the running step."""
+    thread, overlapping the device puts with the running step.  Without a
+    mesh, on an accelerator, batches are jax.device_put on the prefetch
+    thread for the same overlap — leaving them as numpy would serialize the
+    host->device copy into every step dispatch (measured r3: the whole
+    pipeline ran at ~1/10th of the step-only rate).  The put also makes the
+    device batch independent of the streaming loader's reused ring slots.
+    On CPU the arrays are left as numpy (zero transfer; jit may zero-copy
+    them, so the per-step loss sync in run_epoch stays load-bearing there
+    for ring aliasing)."""
     if mesh is None:
-        return lambda b: b
+        if jax.default_backend() == "cpu":
+            return lambda b: b
+        return jax.device_put
     from icek_tpu.parallel import mesh as mesh_lib
 
     return lambda b: mesh_lib.global_batch(b, mesh)
+
+
+def _staged(mesh) -> bool:
+    """True when batches are committed device arrays (see _batch_assembler):
+    the driver loop may then run ahead without a per-step host sync."""
+    return mesh is not None or jax.default_backend() != "cpu"
 
 
 def run_epoch(
@@ -83,6 +99,13 @@ def run_epoch(
         _batch_assembler(mesh),
     )
     fine_tune = enc_opt_state is not None
+    staged = _staged(mesh)
+    pending = []
+
+    def drain():
+        for l, c in pending:
+            losses.update(float(l), int(c))
+        pending.clear()
     for i, batch in enumerate(batches):
         data_time.update(time.time() - start)
         step_rng = jax.random.fold_in(rng_key, i)
@@ -99,8 +122,19 @@ def run_epoch(
             params, opt_state, loss, count = train_step(
                 params, opt_state, encoder_params, batch, step_rng
             )
-        loss = float(loss)
-        losses.update(loss, int(count))
+        if staged:
+            # async dispatch: loss/count stay on device; syncing every step
+            # costs a full host round-trip (20-30 ms through remote
+            # transports) and stalls the put/step pipeline.  Drain at print
+            # boundaries and at epoch end.
+            pending.append((loss, count))
+            if i % print_freq == 0:
+                drain()
+        else:
+            # CPU: the identity assembler may zero-copy the loader's reused
+            # ring buffers into jit — the per-step sync keeps the consumer
+            # within the ring (data/streaming.py aliasing contract).
+            losses.update(float(loss), int(count))
         batch_time.update(time.time() - start)
         start = time.time()
         if i % print_freq == 0:
@@ -108,8 +142,9 @@ def run_epoch(
                 f"Epoch: [{epoch}][{i}/{n_batches}]\t"
                 f"Batch Time {batch_time.val:.3f} ({batch_time.avg:.3f})\t"
                 f"Data Load Time {data_time.val:.3f} ({data_time.avg:.3f})\t"
-                f"Loss {loss:.4f} ({losses.avg:.4f})"
+                f"Loss {losses.val:.4f} ({losses.avg:.4f})"
             )
+    drain()
     return params, opt_state, losses.avg, encoder_params, enc_opt_state
 
 
@@ -128,11 +163,25 @@ def run_validation(
         ),
         _batch_assembler(mesh),
     )
+    staged = _staged(mesh)
+    pending = []
+
+    def drain():
+        for l, c in pending:
+            losses.update(float(l), int(c))
+        pending.clear()
+
     for i, batch in enumerate(batches):
         loss, count = eval_step(params, encoder_params, batch)
-        losses.update(float(loss), int(count))
+        if staged:
+            pending.append((loss, count))
+            if i % print_freq == 0:
+                drain()
+        else:
+            losses.update(float(loss), int(count))
         if i % print_freq == 0:
-            log(f"Validation: [{i}/{n_batches}]\tLoss {float(loss):.4f} ({losses.avg:.4f})")
+            log(f"Validation: [{i}/{n_batches}]\tLoss {losses.val:.4f} ({losses.avg:.4f})")
+    drain()
     return losses.avg
 
 
@@ -242,12 +291,39 @@ def train(
                 lambda x: encode(jnp.asarray(x)), dtype=cache_dtype
             )
 
+    # Lift the train split's token cache into device HBM when it fits the
+    # budget: batches then carry int32 row ids and the step gathers the
+    # (B, 196, D) tokens in-graph — the dominant data stream never crosses
+    # the host->device link.  Single-process + frozen encoder only (the
+    # mesh path assembles global arrays; fine-tune/bn paths carry images).
+    token_cache = None
+    if (
+        not encode_images
+        and mesh is None
+        and jax.process_count() == 1
+        and jax.default_backend() != "cpu"
+        and tc.device_token_cache_gb > 0
+        and train_data.image_tokens is not None
+    ):
+        tokens = train_data.image_tokens
+        nbytes = int(np.prod(tokens.shape)) * 2  # stored bf16 on device
+        if nbytes <= tc.device_token_cache_gb * 2**30:
+            token_cache = jnp.asarray(
+                np.asarray(tokens[:]), dtype=jnp.bfloat16
+            )
+            train_data.use_token_rows = True
+            log(
+                f"device token cache: {nbytes / 2**20:.0f} MiB in HBM; "
+                "batches carry row ids only"
+            )
+
     train_step, eval_step = step_lib.make_train_step(
         cfg, vocab_size, pad_id, optimizer,
         compute_dtype=compute_dtype,
         encode_images=encode_images,
         encoder_optimizer=encoder_optimizer,
         bn_train_mode=tc.bn_train_mode,
+        token_cache=token_cache,
     )
 
     metric_log = profiling.MetricLogger(

@@ -196,6 +196,7 @@ def make_train_step(
     encode_images: bool = True,
     encoder_optimizer=None,
     bn_train_mode: bool = False,
+    token_cache=None,
 ):
     """Build the jitted train step.
 
@@ -221,6 +222,16 @@ def make_train_step(
 
     def image_tokens(encoder_params, batch):
         if not encode_images:
+            if token_cache is not None and "token_rows" in batch:
+                # device-resident cache (TrainConfig.device_token_cache_gb):
+                # the whole split's tokens live in HBM; the batch carries
+                # only row ids and the (B, 196, D) gather happens in-graph —
+                # nothing big crosses the host->device link per step.
+                return (
+                    jnp.take(token_cache, batch["token_rows"], axis=0)
+                    .astype(compute_dtype),
+                    None,
+                )
             # cached tokens may arrive f16 (disk/RAM cache stores half
             # precision when training in bf16); cast on entry so the memory
             # concat stays in compute dtype.  Value-identical to the old

@@ -182,3 +182,94 @@ def test_epoch_batches_matches_index_batches_unshuffled(prepped):
                                       w["caption_ids"][real])
         np.testing.assert_allclose(g["entity_features"][real],
                                    w["entity_features"][real])
+
+
+def test_token_rows_mode_reconstructs_tokens(prepped):
+    """With use_token_rows set, epoch batches carry int32 global row ids in
+    place of image_tokens, and gathering the cache by those ids reproduces
+    EXACTLY the tokens the normal mode would have yielded (same seed =>
+    same shuffle)."""
+    cfg, out_dir, _ = prepped
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    rng = np.random.default_rng(0)
+    cache = rng.standard_normal((len(stream), 4, 6)).astype(np.float32)
+    with h5py.File(
+        streaming.token_cache_path(out_dir, "tiny_geo", "TRAIN"), "w"
+    ) as h:
+        h.create_dataset("image_tokens", data=cache)
+    stream.close()
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+
+    kw = dict(batch_size=4, shuffle=True, seed=3, block_rows=4,
+              window_blocks=2, copy=True)
+    normal = list(stream.epoch_batches(**kw))
+    stream.use_token_rows = True
+    rows_mode = list(stream.epoch_batches(**kw))
+    assert len(normal) == len(rows_mode)
+    for a, b in zip(normal, rows_mode):
+        assert "image_tokens" not in b and "token_rows" in b
+        assert b["token_rows"].dtype == np.int32
+        np.testing.assert_array_equal(
+            a["image_tokens"], cache[b["token_rows"]]
+        )
+        for key in ("caption_ids", "lengths", "entity_features"):
+            np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+    # the in-memory loader's row-id mode agrees with its token mode too
+    mem = ds.CaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    mem.image_tokens = cache
+    idx = np.array([3, 0, 5, -1])
+    want = mem.batch(idx)["image_tokens"]
+    mem.use_token_rows = True
+    got_rows = mem.batch(idx)["token_rows"]
+    np.testing.assert_array_equal(cache[got_rows], want)
+
+
+def test_device_token_cache_training_matches_host_path(prepped):
+    """3 train steps fed by token_rows + in-graph gather produce EXACTLY the
+    same losses as the image_tokens path (f32, CPU)."""
+    import jax.numpy as jnp
+
+    from icek_tpu.models import captioner
+    from icek_tpu.train import step as step_lib
+
+    cfg, out_dir, wm = prepped
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    D = cfg.model.emb_dim
+    rng = np.random.default_rng(1)
+    cache = rng.standard_normal((len(stream), 6, D)).astype(np.float32)
+    with h5py.File(
+        streaming.token_cache_path(out_dir, "tiny_geo", "TRAIN"), "w"
+    ) as h:
+        h.create_dataset("image_tokens", data=cache)
+    stream.close()
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+
+    V = len(wm)
+    key = jax.random.PRNGKey(0)
+    params0 = captioner.init_captioner_params(key, cfg.model, V)
+    optimizer = step_lib.make_optimizer(1e-3)
+
+    def losses(token_cache):
+        stream.use_token_rows = token_cache is not None
+        params = jax.tree.map(jnp.copy, params0)
+        opt_state = optimizer.init(params)
+        step, _ = step_lib.make_train_step(
+            cfg, V, wm["<pad>"], optimizer, encode_images=False,
+            token_cache=token_cache,
+        )
+        out = []
+        for i, batch in enumerate(
+            stream.epoch_batches(batch_size=4, shuffle=True, seed=0)
+        ):
+            params, opt_state, loss, _ = step(
+                params, opt_state, None, batch, jax.random.fold_in(key, i)
+            )
+            out.append(float(loss))
+            if i == 2:
+                break
+        return out
+
+    host = losses(None)
+    dev = losses(jnp.asarray(cache))
+    np.testing.assert_array_equal(host, dev)
