@@ -294,13 +294,13 @@ def train(
     # Lift the train split's token cache into device HBM when it fits the
     # budget: batches then carry int32 row ids and the step gathers the
     # (B, 196, D) tokens in-graph — the dominant data stream never crosses
-    # the host->device link.  Single-process + frozen encoder only (the
-    # mesh path assembles global arrays; fine-tune/bn paths carry images).
+    # the host->device link.  Frozen-encoder paths only (fine-tune/bn carry
+    # raw images).  With a mesh the cache is replicated over it (row ids are
+    # global, every process loads the full split); the dp-sharded row-id
+    # gather then yields the dp-sharded token batch in-graph.
     token_cache = None
     if (
         not encode_images
-        and mesh is None
-        and jax.process_count() == 1
         and jax.default_backend() != "cpu"
         and tc.device_token_cache_gb > 0
         and train_data.image_tokens is not None
@@ -308,12 +308,23 @@ def train(
         tokens = train_data.image_tokens
         nbytes = int(np.prod(tokens.shape)) * 2  # stored bf16 on device
         if nbytes <= tc.device_token_cache_gb * 2**30:
-            token_cache = jnp.asarray(
-                np.asarray(tokens[:]), dtype=jnp.bfloat16
-            )
+            host = np.asarray(tokens[:]).astype(jnp.bfloat16)
+            if mesh is None:
+                token_cache = jnp.asarray(host)
+            else:
+                replicated = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()
+                )
+                if jax.process_count() == 1:
+                    token_cache = jax.device_put(host, replicated)
+                else:
+                    token_cache = jax.make_array_from_process_local_data(
+                        replicated, host
+                    )
             train_data.use_token_rows = True
             log(
-                f"device token cache: {nbytes / 2**20:.0f} MiB in HBM; "
+                f"device token cache: {nbytes / 2**20:.0f} MiB in HBM"
+                f"{' (replicated over mesh)' if mesh is not None else ''}; "
                 "batches carry row ids only"
             )
 

@@ -215,3 +215,50 @@ def test_train_loop_with_mesh(prepped, tmp_path):
     from icek_tpu.train import checkpoint as ckpt
 
     assert ckpt.latest_checkpoint(str(tmp_path / "ckpts"), "tiny_geo")
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_device_token_cache_sharded_matches_host_path(mesh_shape):
+    """The device-resident token cache under a mesh: a replicated cache
+    gathered in-graph by dp-sharded row ids gives EXACTLY the same loss
+    and parameters as the sharded image_tokens path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg, V, params, batch = _setup()
+    optimizer = step_lib.make_optimizer(1e-3)
+    mesh = mesh_lib.make_mesh(*mesh_shape)
+    sharded_params = mesh_lib.shard_params(params, mesh)
+
+    step_host, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=False
+    )
+    full_batch = mesh_lib.shard_batch(batch, mesh)
+    p1, _, loss1, count1 = step_host(
+        jax.tree.map(jnp.copy, sharded_params),
+        optimizer.init(sharded_params), None, full_batch,
+        jax.random.PRNGKey(1),
+    )
+
+    # rows-mode batch: the tokens live replicated on the mesh; the batch
+    # carries the global row ids (here: an identity mapping of a cache
+    # whose rows equal the original batch tokens)
+    cache = np.asarray(batch["image_tokens"])
+    replicated = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()
+    )
+    token_cache = jax.device_put(jnp.asarray(cache), replicated)
+    rows_batch = {k: v for k, v in batch.items() if k != "image_tokens"}
+    rows_batch["token_rows"] = np.arange(len(cache), dtype=np.int32)
+    rows_batch = mesh_lib.shard_batch(rows_batch, mesh)
+    step_dev, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=False, token_cache=token_cache
+    )
+    p2, _, loss2, count2 = step_dev(
+        mesh_lib.shard_params(params, mesh),
+        optimizer.init(sharded_params), None, rows_batch,
+        jax.random.PRNGKey(1),
+    )
+    assert int(count1) == int(count2)
+    np.testing.assert_array_equal(float(loss1), float(loss2))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
