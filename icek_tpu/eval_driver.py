@@ -222,8 +222,16 @@ class Evaluator:
                     idx = idx[pi * local : (pi + 1) * local]
                 yield start, data.batch(idx)
 
-        # overlap host-side HDF5 read + normalization with device decode
-        prefetched = ds.prefetch(batches(), lambda item: item)
+        # overlap host-side HDF5 read + normalization with device decode;
+        # on an accelerator without a mesh also jax.device_put on the
+        # prefetch thread — leaving numpy would serialize the 100 MB image
+        # upload into every decode dispatch (mesh batches are assembled in
+        # decode_batch from the LOCAL numpy rows instead)
+        if self.mesh is None and jax.default_backend() != "cpu":
+            stage = lambda item: (item[0], jax.device_put(item[1]))  # noqa: E731
+        else:
+            stage = lambda item: item  # noqa: E731
+        prefetched = ds.prefetch(batches(), stage)
         for start, batch in prefetched:
             out = self.decode_batch(batch)
             count = min(self.batch_size, n - start)

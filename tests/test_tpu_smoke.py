@@ -339,3 +339,53 @@ def test_production_stack_overfits_on_hardware():
     # ln(10301+1 classes) ~ 9.2 at init; memorizing one batch must at least
     # halve it even with production dropout rates active.
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_evaluator_end_to_end_on_hardware(tmp_path):
+    """Full Evaluator.run on the real chip over a synthetic on-disk dataset:
+    exercises the accelerator-only prefetch staging (batches jax.device_put
+    on the prefetch thread when no mesh is set — eval_driver.Evaluator.run)
+    that the CPU suite never reaches, plus HDF5 read -> encode -> beam
+    decode -> detok -> CSV.  Two runs must be byte-identical."""
+    import pandas as pd
+
+    from icek_tpu import eval_driver
+    from icek_tpu.data import dataset as ds
+    from icek_tpu.data import input_files
+    from icek_tpu.models import resnet
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_train_e2e import make_raw_dataset, tiny_cfg
+
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path, n_images=14)
+    out_dir = tmp_path / "input_dataset_files"
+    wm = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    ).run()
+    test_data = ds.CaptionDataset(str(out_dir), "tiny_geo", "TEST")
+    assert len(test_data) == 6  # 3 prefetched batches at batch_size=2
+
+    key = jax.random.PRNGKey(3)
+    params = captioner.init_captioner_params(key, cfg.model, len(wm))
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+
+    evaluator = eval_driver.Evaluator(
+        cfg, wm, params, encoder_params, batch_size=2, beam_size=3,
+    )
+    assert jax.default_backend() != "cpu"  # staging path must be active
+    r1 = evaluator.run(
+        test_data, output_csv=str(tmp_path / "r1.csv"), log=lambda s: None
+    )
+    r2 = evaluator.run(
+        test_data, output_csv=str(tmp_path / "r2.csv"), log=lambda s: None
+    )
+    assert len(r1["captions"]) == len(test_data)
+    assert r1["captions"] == r2["captions"]
+    assert r1["masks"] == r2["masks"]
+    pd.testing.assert_frame_equal(
+        pd.read_csv(tmp_path / "r1.csv"), pd.read_csv(tmp_path / "r2.csv")
+    )
