@@ -149,19 +149,23 @@ class StreamingCaptionDataset:
     def image_tokens(self):
         return self._tokens
 
+    def raw_image_batch(self, idx: np.ndarray) -> np.ndarray:
+        return _gather_rows(self._images, np.asarray(idx))
+
     def image_batch(self, idx: np.ndarray) -> np.ndarray:
-        raw = _gather_rows(self._images, np.asarray(idx))
-        return image_ops.normalize_for_model(raw)
+        return image_ops.normalize_for_model(self.raw_image_batch(idx))
 
     def cache_image_tokens(self, encode_fn, batch_size: int = 32,
-                           dtype=np.float32):
+                           dtype=np.float32, raw: bool = False):
         """Run the frozen encoder over the split once, writing the 196-token
         features to a disk-backed contiguous cache (NOT host RAM — at 800k
-        images the tokens alone exceed any host)."""
+        images the tokens alone exceed any host).  raw=True as in
+        CaptionDataset.cache_image_tokens (encode_fn normalizes in-graph)."""
         import h5py
 
+        feed = self.raw_image_batch if raw else self.image_batch
         path = token_cache_path(self._data_dir, self._base_name, self.split)
-        probe = np.asarray(encode_fn(self.image_batch(np.arange(1))))
+        probe = np.asarray(encode_fn(feed(np.arange(1))))
         with h5py.File(path, "w") as h:
             # contiguous (unchunked): random row gathers read exact ranges
             dset = h.create_dataset(
@@ -171,7 +175,7 @@ class StreamingCaptionDataset:
             for start in range(1, len(self), batch_size):
                 idx = np.arange(start, min(start + batch_size, len(self)))
                 dset[start : start + len(idx)] = np.asarray(
-                    encode_fn(self.image_batch(idx))
+                    encode_fn(feed(idx))
                 )
         self._token_file = h5py.File(path, "r")
         self._tokens = self._token_file["image_tokens"]
@@ -369,7 +373,8 @@ class StreamingCaptionDataset:
             yielded += 1
             yield finish(out)
 
-    def batch(self, idx: np.ndarray, with_images: bool = True) -> Dict[str, np.ndarray]:
+    def batch(self, idx: np.ndarray, with_images: bool = True,
+              raw_images: bool = False) -> Dict[str, np.ndarray]:
         a = self.arrays
         idx = np.asarray(idx)
         pad = idx < 0                              # -1 marks padding rows
@@ -387,6 +392,9 @@ class StreamingCaptionDataset:
                 out["image_tokens"] = _gather_rows(self._tokens, safe).astype(
                     np.float32
                 )
+            elif raw_images:
+                # stored f16 CHW rows; consumer normalizes in-graph
+                out["raw_images"] = _gather_rows(self._images, safe)
             else:
                 out["images"] = self.image_batch(safe)
         return out

@@ -109,10 +109,15 @@ class Evaluator:
         # boundary each; fusing measured ~1.5x end-to-end on v5e)
         self._fused = {}
 
-    def _pipeline(self, with_images: bool, num_entity_rows: int):
-        key = (with_images, num_entity_rows)
+    def _pipeline(self, mode: str, num_entity_rows: int):
+        """``mode``: "raw" (stored f16 CHW rows, normalized in-graph — the
+        default loader path), "images" (host-normalized NHWC f32, kept for
+        direct ``decode_batch`` callers), or "tokens" (cached encoder
+        features)."""
+        key = (mode, num_entity_rows)
         if key in self._fused:
             return self._fused[key]
+        from icek_tpu.data import images as image_ops
         cfg = self.cfg
         wm = self.wordmap
         jit = jax.jit
@@ -128,7 +133,13 @@ class Evaluator:
 
         @jit
         def run(images_or_tokens, ents, facts):
-            if with_images:
+            if mode != "tokens":
+                if mode == "raw":
+                    # f16 CHW rows straight off HDF5: /255 + ImageNet
+                    # normalize + NHWC transpose fuse into the first conv
+                    images_or_tokens = image_ops.normalize_in_graph(
+                        images_or_tokens
+                    )
                 if self._encoder_folded is not None:
                     tokens = resnet.resnet_encode_folded(
                         self._encoder_folded, images_or_tokens,
@@ -175,16 +186,23 @@ class Evaluator:
         num_ent_rows = batch["entity_features"].shape[1]
         if self.mesh is not None:
             batch = self._mesh_lib.global_batch(batch, self.mesh)
-        with_images = "image_tokens" not in batch
+        mode = next(
+            m for m, k in (
+                ("raw", "raw_images"),
+                ("tokens", "image_tokens"),
+                ("images", "images"),
+            ) if k in batch
+        )
         inputs = jnp.asarray(
-            batch["images"] if with_images else batch["image_tokens"]
+            batch[{"raw": "raw_images", "tokens": "image_tokens",
+                   "images": "images"}[mode]]
         )
         facts = (
             jnp.asarray(batch["fact_features"])
             if batch.get("fact_features") is not None
             else None
         )
-        run = self._pipeline(with_images, num_ent_rows)
+        run = self._pipeline(mode, num_ent_rows)
         return np.asarray(
             run(inputs, jnp.asarray(batch["entity_features"]), facts)
         )
@@ -220,7 +238,7 @@ class Evaluator:
                     # decode_batch reassembles the global batch
                     local = self.batch_size // pc
                     idx = idx[pi * local : (pi + 1) * local]
-                yield start, data.batch(idx)
+                yield start, data.batch(idx, raw_images=True)
 
         # overlap host-side HDF5 read + normalization with device decode;
         # on an accelerator without a mesh also jax.device_put on the

@@ -126,3 +126,53 @@ def test_evaluator_mesh_matches_unsharded(tmp_path):
     pd.testing.assert_frame_equal(
         pd.read_csv(tmp_path / "mesh.csv"), pd.read_csv(tmp_path / "plain.csv")
     )
+
+
+def test_in_graph_normalize_bit_exact_and_token_exact(tmp_path):
+    """The device-side image normalize (images.normalize_in_graph, the
+    default Evaluator loader path) must match the host normalize_for_model
+    to <=2 ulp (XLA strength-reduces the constant divides, so exact bit
+    equality is not guaranteed), and decode_batch must return IDENTICAL
+    tokens for the "raw_images" and host-normalized "images" batch forms."""
+    import jax
+
+    from icek_tpu import eval_driver
+    from icek_tpu.data import dataset as ds
+    from icek_tpu.data import images as image_ops
+    from icek_tpu.data import input_files
+    from icek_tpu.models import captioner, resnet
+
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_train_e2e import make_raw_dataset, tiny_cfg
+
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    wm = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    ).run()
+    test_data = ds.CaptionDataset(str(out_dir), "tiny_geo", "TEST")
+
+    idx = np.arange(min(4, len(test_data)))
+    stored = test_data.raw_image_batch(idx)
+    host = image_ops.normalize_for_model(stored)
+    device = np.asarray(jax.jit(image_ops.normalize_in_graph)(stored))
+    np.testing.assert_array_max_ulp(host, device, maxulp=2)
+
+    key = jax.random.PRNGKey(3)
+    params = captioner.init_captioner_params(key, cfg.model, len(wm))
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+    evaluator = eval_driver.Evaluator(
+        cfg, wm, params, encoder_params, batch_size=4, beam_size=3,
+    )
+    raw_batch = test_data.batch(idx, raw_images=True)
+    assert "raw_images" in raw_batch
+    norm_batch = test_data.batch(idx)
+    assert "images" in norm_batch
+    np.testing.assert_array_equal(
+        evaluator.decode_batch(raw_batch), evaluator.decode_batch(norm_batch)
+    )

@@ -78,6 +78,39 @@ def test_streaming_token_cache_on_disk(prepped):
     )
 
 
+def test_token_cache_raw_feed_matches_host_normalize(prepped):
+    """cache_image_tokens(raw=True) feeds the encoder the stored f16 CHW
+    rows (the bf16-training fast path in train/loop.py); with an encode_fn
+    that normalizes in-graph the cached tokens must match the host-
+    normalized raw=False path to float tolerance, for BOTH loaders."""
+    from icek_tpu.data import images as image_ops
+
+    cfg, out_dir, _ = prepped
+
+    def encode_host_normalized(imgs):
+        return np.asarray(imgs, np.float32).mean(axis=3)  # (B, 256, 3)
+
+    def encode_raw(imgs):
+        normalized = np.asarray(
+            jax.jit(image_ops.normalize_in_graph)(np.asarray(imgs))
+        )
+        return encode_host_normalized(normalized)
+
+    mem_a = ds.CaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    mem_a.cache_image_tokens(encode_host_normalized, batch_size=4)
+    mem_b = ds.CaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    mem_b.cache_image_tokens(encode_raw, batch_size=4, raw=True)
+    np.testing.assert_allclose(
+        mem_a.image_tokens, mem_b.image_tokens, rtol=0, atol=2e-6
+    )
+
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    stream.cache_image_tokens(encode_raw, batch_size=4, raw=True)
+    np.testing.assert_allclose(
+        np.asarray(stream.image_tokens), mem_a.image_tokens, rtol=0, atol=2e-6
+    )
+
+
 @pytest.mark.parametrize("n,batch_size,block,window", [
     (100, 8, 16, 2), (37, 5, 8, 3), (64, 8, 64, 1),
 ])
