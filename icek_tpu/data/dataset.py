@@ -75,7 +75,7 @@ class CaptionDataset:
 
     def raw_image_batch(self, idx: np.ndarray) -> np.ndarray:
         """Stored (B, 3, H, W) float16 rows, un-normalized — for pipelines
-        that run ``images.normalize_in_graph`` on device (4x smaller upload,
+        that run ``images.normalize_in_graph`` on device (2x smaller upload,
         no host normalize passes)."""
         # h5py fancy indexing requires strictly increasing indices; batches
         # may repeat rows (eval pads partial batches with the last index)
@@ -101,7 +101,7 @@ class CaptionDataset:
 
         raw=True feeds ``encode_fn`` the stored f16 CHW rows (it must
         normalize in-graph via ``images.normalize_in_graph``) — skips the
-        host normalize passes and uploads 4x fewer bytes per chunk."""
+        host normalize passes and uploads 2x fewer bytes per chunk."""
         feed = self.raw_image_batch if raw else self.image_batch
         chunks = []
         for start in range(0, len(self), batch_size):

@@ -126,7 +126,7 @@ def normalize_in_graph(stored):
     """``normalize_for_model`` as jax ops, for use INSIDE a jitted pipeline.
 
     Takes the stored HDF5 float16 CHW rows as-is ((B, 3, H, W)); the f16
-    upload is 4x smaller than host-normalized f32, and the host skips two
+    upload is 2x smaller than host-normalized f32, and the host skips two
     full-tensor allocation passes per batch (this microVM faults fresh
     pages at 30-100 MB/s — the host normalize was the e2e eval bottleneck).
     XLA fuses the /255, mean/std, and transpose into the first conv's input.

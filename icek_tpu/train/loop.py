@@ -279,7 +279,7 @@ def train(
         # marginally slower than the r3 step: 85.7 vs 83.5 ms/batch at
         # geo batch 256).  f32 passes keep f32 for exactness (host
         # normalize, bit-stable cache); bf16 builds also normalize the
-        # stored f16 rows IN-graph — 4x smaller uploads, no host passes.
+        # stored f16 rows IN-graph — 2x smaller uploads, no host passes.
         raw_feed = compute_dtype == jnp.bfloat16
         cache_dtype = np.float16 if raw_feed else np.float32
 
