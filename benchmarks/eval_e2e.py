@@ -101,8 +101,17 @@ def main():
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--no-stage", action="store_true",
                     help="A/B: disable prefetch-thread device staging")
+    ap.add_argument("--host-normalize", action="store_true",
+                    help="A/B: restore host-side f32 normalization (2x the "
+                         "upload bytes + two host alloc passes per batch)")
     args = ap.parse_args()
 
+    if args.host_normalize:
+        orig_batch = ds.CaptionDataset.batch
+        ds.CaptionDataset.batch = (
+            lambda self, idx, with_images=True, raw_images=False:
+            orig_batch(self, idx, with_images=with_images, raw_images=False)
+        )
     if args.no_stage:
         orig = ds.prefetch
         eval_driver.ds.prefetch = (
@@ -143,6 +152,7 @@ def main():
         "batch": evaluator.batch_size,
         "beam": evaluator.beam_size,
         "staged": not args.no_stage,
+        "host_normalize": args.host_normalize,
         "wall_s": round(dt, 2),
     }))
 

@@ -193,6 +193,7 @@ class StreamingCaptionDataset:
     def epoch_batches(
         self, batch_size: int, shuffle: bool, seed: int = 0,
         pad_partial: bool = True, with_images: bool = True,
+        raw_images: bool = False,
         block_rows: int = 512, window_blocks: int = 4, ring_depth: int = 8,
         copy: bool = False, process_index: int = 0, process_count: int = 1,
     ):
@@ -268,14 +269,14 @@ class StreamingCaptionDataset:
         }
         if a.fact_features is not None:
             sources["fact_features"] = a.fact_features
-        raw_images = False
+        images_from_store = False
         token_rows = getattr(self, "use_token_rows", False)
         if with_images and not token_rows:
             if self._tokens is not None:
                 sources["image_tokens"] = self._tokens
             else:
                 sources["images"] = self._images
-                raw_images = True
+                images_from_store = True
         max_rows = block_rows * window_blocks + batch_size - 1
         # buffers persist on the dataset across epochs (one live generator
         # per dataset at a time): steady-state host allocation is zero,
@@ -311,10 +312,15 @@ class StreamingCaptionDataset:
 
         def finish(out, lengths_override=None):
             final = dict(out)
-            if raw_images:
-                final["images"] = image_ops.normalize_for_model(
-                    final.pop("images")
-                )
+            if images_from_store:
+                if raw_images:
+                    # stored f16 CHW rows as-is (the ring slot view, zero
+                    # host passes); the train step normalizes in-graph
+                    final["raw_images"] = final.pop("images")
+                else:
+                    final["images"] = image_ops.normalize_for_model(
+                        final.pop("images")
+                    )
             if lengths_override is not None:
                 final["lengths"] = lengths_override
             if copy:

@@ -86,14 +86,14 @@ def run_epoch(
     train_step, params, opt_state, encoder_params, data: ds.CaptionDataset,
     batch_size: int, rng_key, epoch: int, print_freq: int = 100,
     log: Callable[[str], None] = print, enc_opt_state=None,
-    bn_train_mode: bool = False, mesh=None,
+    bn_train_mode: bool = False, mesh=None, raw_images: bool = False,
 ):
     batch_time, data_time, losses = Meter(), Meter(), Meter()
     start = time.time()
     n_batches = -(-len(data) // batch_size)
     batches = ds.prefetch(
         data.epoch_batches(
-            batch_size, shuffle=True, seed=epoch,
+            batch_size, shuffle=True, seed=epoch, raw_images=raw_images,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         ),
@@ -152,13 +152,13 @@ def run_epoch(
 def run_validation(
     eval_step, params, encoder_params, data: ds.CaptionDataset,
     batch_size: int, print_freq: int = 100, log: Callable[[str], None] = print,
-    mesh=None,
+    mesh=None, raw_images: bool = False,
 ):
     losses = Meter()
     n_batches = -(-len(data) // batch_size)
     batches = ds.prefetch(
         data.epoch_batches(
-            batch_size, shuffle=False,
+            batch_size, shuffle=False, raw_images=raw_images,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         ),
@@ -265,6 +265,11 @@ def train(
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     encoder_optimizer = enc_opt_state = None
     encode_images = tc.fine_tune_encoder or tc.bn_train_mode
+    # fine-tune/bn batches carry images every step; bf16 passes ship the
+    # stored f16 rows and normalize in-graph (train/step._batch_images) —
+    # half the host->device bytes, zero host normalize passes.  f32 parity
+    # passes keep the exact host normalize.
+    raw_image_batches = encode_images and compute_dtype == jnp.bfloat16
     if tc.fine_tune_encoder:
         encoder_optimizer = step_lib.make_encoder_optimizer(
             encoder_params, tc.encoder_lr, tc.grad_clip
@@ -371,11 +376,11 @@ def train(
                 tc.batch_size, jax.random.fold_in(k_train, epoch), epoch,
                 tc.print_freq, log, enc_opt_state=enc_opt_state,
                 bn_train_mode=tc.bn_train_mode and not tc.fine_tune_encoder,
-                mesh=mesh,
+                mesh=mesh, raw_images=raw_image_batches,
             )
         val_loss = run_validation(
             eval_step, params, encoder_params, val_data, tc.batch_size,
-            tc.print_freq, log, mesh=mesh,
+            tc.print_freq, log, mesh=mesh, raw_images=raw_image_batches,
         )
         metric_log.log(
             "epoch", epoch=epoch, train_loss=train_loss, val_loss=val_loss,

@@ -17,8 +17,19 @@ import jax.numpy as jnp
 import optax
 
 from icek_tpu.core.config import Config
+from icek_tpu.data import images as image_ops
 from icek_tpu.models import captioner as cap
 from icek_tpu.models import resnet
+
+
+def _batch_images(batch):
+    """Model-ready NHWC images from either batch form: "raw_images" (stored
+    f16 CHW rows, normalized in-graph — half the host->device bytes and no
+    host normalize passes) or "images" (host-normalized f32, the f32-parity
+    path)."""
+    if "raw_images" in batch:
+        return image_ops.normalize_in_graph(batch["raw_images"])
+    return batch["images"]
 
 
 def to_rbg_key(rng):
@@ -239,14 +250,14 @@ def make_train_step(
             return batch["image_tokens"].astype(compute_dtype), None
         if bn_train_mode:
             tokens, new_enc = resnet.resnet_encode(
-                encoder_params, batch["images"], mcfg.encoded_image_size,
+                encoder_params, _batch_images(batch), mcfg.encoded_image_size,
                 train=True, compute_dtype=compute_dtype, return_stats=True,
             )
             # the running-stat side effect is not a gradient path
             new_enc = jax.lax.stop_gradient(new_enc)
             return tokens, new_enc
         return resnet.resnet_encode(
-            encoder_params, batch["images"], mcfg.encoded_image_size,
+            encoder_params, _batch_images(batch), mcfg.encoded_image_size,
             train=False, compute_dtype=compute_dtype,
         ), None
 
@@ -336,7 +347,7 @@ def make_train_step(
             tokens = batch["image_tokens"].astype(compute_dtype)
         else:
             tokens = resnet.resnet_encode(
-                encoder_params, batch["images"], mcfg.encoded_image_size,
+                encoder_params, _batch_images(batch), mcfg.encoded_image_size,
                 train=False, compute_dtype=compute_dtype,
             )
         scores = cap.captioner_forward(

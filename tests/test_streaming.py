@@ -306,3 +306,25 @@ def test_device_token_cache_training_matches_host_path(prepped):
     host = losses(None)
     dev = losses(jnp.asarray(cache))
     np.testing.assert_array_equal(host, dev)
+
+
+def test_epoch_batches_raw_images(prepped):
+    """epoch_batches(raw_images=True) yields the stored f16 CHW rows under
+    "raw_images" (no host normalize — the bf16 fine-tune feed), identical to
+    the in-memory loader's raw batches."""
+    cfg, out_dir, _ = prepped
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    mem = ds.CaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    batch_size = 4
+    got = next(iter(stream.epoch_batches(
+        batch_size, shuffle=False, raw_images=True, copy=True
+    )))
+    assert "raw_images" in got and "images" not in got
+    assert got["raw_images"].dtype == np.float16
+    want = mem.batch(np.arange(batch_size), raw_images=True)
+    np.testing.assert_array_equal(got["raw_images"], want["raw_images"])
+    # host-normalized mode is unchanged
+    norm = next(iter(stream.epoch_batches(batch_size, shuffle=False, copy=True)))
+    np.testing.assert_array_equal(
+        norm["images"], mem.batch(np.arange(batch_size))["images"]
+    )

@@ -658,3 +658,76 @@ def test_empty_entity_context(tmp_path):
     ent_positions = np.where(data.arrays.caption_mask[0] == 1)[0]
     assert len(ent_positions) == 1
     assert caps[ent_positions[0]] == len(wm) + 0
+
+
+def test_fine_tune_raw_images_batch_matches_host_normalized():
+    """The fine-tune/bn train path may carry stored f16 CHW rows
+    ("raw_images", normalized in-graph by train/step._batch_images) instead
+    of host-normalized f32 "images"; the step must produce the same loss
+    and parameter updates up to normalize rounding (<=2 ulp input delta)."""
+    from icek_tpu.data import images as image_ops
+    from icek_tpu.models import captioner, resnet
+    from icek_tpu.train import step as step_lib
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, fine_tune_encoder=True),
+        model=dataclasses.replace(
+            cfg.model, dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0
+        ),
+    )
+    V, E, B = 20, 5, 2
+    rng = np.random.default_rng(5)
+    key = jax.random.PRNGKey(0)
+    params = captioner.init_captioner_params(key, cfg.model, V)
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+    # SGD, not Adam: on a first Adam step every update is +-lr*sign(g), so
+    # leaves with near-zero gradients amplify the <=2-ulp normalize delta
+    # into full +-lr disagreements; SGD keeps the param delta proportional
+    # to the actual gradient delta.
+    import optax
+
+    optimizer = optax.sgd(1e-3)
+    enc_optimizer = optax.sgd(1e-3)
+    train_step, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=True,
+        encoder_optimizer=enc_optimizer,
+    )
+    ents = np.zeros((B, E, 5), dtype=np.float32)
+    ents[:, :, 0] = np.arange(E)
+    stored = rng.uniform(0, 255, (B, 3, 32, 32)).astype(np.float16)
+    base = {
+        "caption_ids": rng.integers(1, V, (B, 8)).astype(np.int32),
+        "caption_mask": np.zeros((B, 8), dtype=np.int32),
+        "lengths": np.full((B,), 8, dtype=np.int32),
+        "entity_features": ents,
+    }
+
+    def run(batch):
+        # the step donates params/opt_state — pass fresh copies per run
+        p0 = jax.tree.map(jnp.array, params)
+        e0 = jax.tree.map(jnp.array, encoder_params)
+        opt_state = optimizer.init(p0)
+        enc_opt_state = enc_optimizer.init(e0)
+        p, _, enc, _, loss, _ = train_step(
+            p0, opt_state, e0, enc_opt_state, batch, jax.random.PRNGKey(1),
+        )
+        return float(loss), p, enc
+
+    loss_host, p_host, enc_host = run(
+        dict(base, images=image_ops.normalize_for_model(stored))
+    )
+    loss_raw, p_raw, enc_raw = run(dict(base, raw_images=stored))
+    np.testing.assert_allclose(loss_raw, loss_host, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        p_raw, p_host,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        enc_raw, enc_host,
+    )
