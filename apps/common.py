@@ -221,6 +221,69 @@ def run_eval(preset: str, argv=None):
     )
 
 
+def run_serve(preset: str, argv=None):
+    """Online serving entry point (no reference counterpart — the
+    reference has no serving path at all; see icek_tpu/serve/engine.py)."""
+    cfg = config_lib.get_config(preset)
+    p = base_parser(f"Serve the {preset} captioner over HTTP")
+    p.add_argument("--checkpoint", required=True,
+                   help=".msgpack checkpoint or reference .pth.tar")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--beam", type=int, default=None,
+                   help="beam size (default: preset; 1 = greedy)")
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="largest dynamic-batch bucket")
+    p.add_argument("--max-wait-ms", type=float, default=3.0,
+                   help="how long the oldest request waits for batchmates")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile every bucket from a TEST-split sample "
+                        "before accepting traffic")
+    args = p.parse_args(argv)
+
+    from icek_tpu.serve.engine import ServingEngine
+    from icek_tpu.serve.server import make_server
+    from icek_tpu.train import checkpoint as ckpt_lib
+    from icek_tpu.train import port
+
+    wm = load_wordmap(args.data_dir, cfg.data.base_name)
+    if args.checkpoint.endswith(".pth.tar"):
+        params, encoder_params, _ = port.load_reference_checkpoint(
+            args.checkpoint, cfg.model
+        )
+    else:
+        params, _, encoder_params, _ = ckpt_lib.load_checkpoint(args.checkpoint)
+    engine = ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=args.beam,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    )
+    if args.warmup:
+        from icek_tpu.data import dataset as ds
+
+        data = ds.CaptionDataset(
+            args.data_dir, cfg.data.base_name, "TEST", cfg.model.has_facts
+        )
+        row = data.batch(__import__("numpy").array([0]), raw_images=True)
+        sample = {k: v[0] for k, v in row.items()
+                  if k in ("raw_images", "images", "image_tokens",
+                           "entity_features", "fact_features")}
+        sample["entity_names"] = data.arrays.entity_names[0]
+        if data.arrays.fact_names is not None:
+            sample["fact_names"] = data.arrays.fact_names[0]
+        print("warmup: compiling buckets", engine.buckets, flush=True)
+        engine.warmup(sample)
+    server = make_server(engine, args.host, args.port)
+    print(f"serving {preset} on http://{args.host}:{server.server_address[1]}",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        engine.close()
+
+
 def run_compute_eval_metrics(preset: str, argv=None):
     cfg = config_lib.get_config(preset)
     p = argparse.ArgumentParser(

@@ -1,0 +1,182 @@
+"""Serving engine: dynamic batching must be invisible to results.
+
+Decode is row-independent, so a request's caption must not depend on how
+it was batched (bucket size, padding rows, batchmates) — every test here
+compares engine outputs against the offline Evaluator on the same params.
+The reference has no serving path (its eval.py is offline batch-1,
+geo-aware/eval.py:54-70); this subsystem is framework-new.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from icek_tpu import eval_driver  # noqa: E402
+from icek_tpu.data import dataset as ds  # noqa: E402
+from icek_tpu.data import input_files  # noqa: E402
+from icek_tpu.models import captioner, resnet  # noqa: E402
+from icek_tpu.serve.engine import ServingEngine  # noqa: E402
+from icek_tpu.serve.server import encode_request, make_server  # noqa: E402
+from test_train_e2e import make_raw_dataset, tiny_cfg  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def serving_setup(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serving")
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    wm = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    ).run()
+    data = ds.CaptionDataset(str(out_dir), "tiny_geo", "TEST")
+    key = jax.random.PRNGKey(7)
+    params = captioner.init_captioner_params(key, cfg.model, len(wm))
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+    return cfg, wm, params, encoder_params, data, tmp_path
+
+
+def _sample(data, i, mode="raw_images"):
+    row = data.batch(np.array([i]), raw_images=(mode == "raw_images"))
+    out = {
+        mode: row[mode][0],
+        "entity_features": row["entity_features"][0],
+        "entity_names": data.arrays.entity_names[i],
+    }
+    if data.arrays.fact_names is not None:
+        out["fact_features"] = row["fact_features"][0]
+        out["fact_names"] = data.arrays.fact_names[i]
+    return out
+
+
+def _reference_captions(setup):
+    """Offline Evaluator captions for the TEST split (the oracle)."""
+    cfg, wm, params, encoder_params, data, tmp_path = setup
+    res = eval_driver.Evaluator(
+        cfg, wm, params, encoder_params, batch_size=2, beam_size=3,
+    ).run(data, output_csv=str(tmp_path / "oracle.csv"), log=lambda s: None)
+    return res["captions"], res["masks"]
+
+
+def test_concurrent_requests_match_offline_eval(serving_setup):
+    """N client threads, arbitrary coalescing -> captions identical to the
+    offline batch eval of the same rows."""
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    oracle_caps, oracle_masks = _reference_captions(serving_setup)
+    n = len(data)
+    with ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=3,
+        max_batch=4, max_wait_ms=50.0,
+    ) as engine:
+        results = [None] * n
+
+        def client(i):
+            results[i] = engine.caption(_sample(data, i), timeout=300)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats = engine.stats()
+    assert [r["caption"] for r in results] == oracle_caps
+    assert [r["mask"] for r in results] == oracle_masks
+    assert stats.requests == n
+    assert stats.errors == 0
+
+
+def test_requests_coalesce_into_batches(serving_setup):
+    """With a generous wait window, queued requests must share device
+    batches instead of running one-by-one."""
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    with ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=3,
+        max_batch=2, max_wait_ms=2000.0,
+    ) as engine:
+        # compile first so the batcher isn't stuck tracing while the
+        # queue drains one request at a time
+        engine.warmup(_sample(data, 0), buckets=[1, 2])
+        futures = [engine.submit(_sample(data, i % len(data))) for i in range(6)]
+        for f in futures:
+            f.result(timeout=300)
+        stats = engine.stats()
+    assert stats.requests == 6
+    # max_batch=2 -> at least 3 batches; coalescing -> strictly fewer than 6
+    assert 3 <= stats.batches < 6
+    assert stats.bucket_runs.get(2, 0) >= 1
+
+
+def test_bucket_padding_is_result_invariant(serving_setup):
+    """A lone request (padded up to a bucket) and the same row decoded in
+    a full batch give identical captions."""
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    oracle_caps, _ = _reference_captions(serving_setup)
+    with ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=3,
+        max_batch=4, max_wait_ms=0.0,  # launch immediately: singleton batches
+    ) as engine:
+        one = engine.caption(_sample(data, 1), timeout=300)
+        stats = engine.stats()
+    assert one["caption"] == oracle_caps[1]
+    assert stats.batch_fill.get(1, 0) >= 1
+
+
+def test_submit_validates_sample(serving_setup):
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    with ServingEngine(cfg, wm, params, encoder_params, beam_size=1) as engine:
+        with pytest.raises(ValueError, match="exactly one of"):
+            engine.submit({"entity_features": np.zeros((9, 5))})
+        sample = _sample(data, 0)
+        sample.pop("entity_names")
+        with pytest.raises(ValueError, match="entity_names"):
+            engine.submit(sample)
+    with pytest.raises(RuntimeError, match="closed"):
+        engine.submit(_sample(data, 0))
+
+
+def test_http_server_roundtrip(serving_setup):
+    """POST /caption over a real socket returns the oracle caption; the
+    health/stats endpoints answer."""
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    oracle_caps, oracle_masks = _reference_captions(serving_setup)
+    engine = ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=3,
+        max_batch=4, max_wait_ms=20.0,
+    )
+    server = make_server(engine, "127.0.0.1", 0, request_timeout=300)
+    host, port = server.server_address
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://{host}:{port}"
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert json.load(r) == {"ok": True}
+        req = urllib.request.Request(
+            url + "/caption", data=encode_request(_sample(data, 0)),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            result = json.load(r)
+        assert result["caption"] == oracle_caps[0]
+        assert result["mask"] == oracle_masks[0]
+        with urllib.request.urlopen(url + "/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["requests"] == 1
+        assert stats["errors"] == 0
+        # malformed body -> structured 400, not a hung socket
+        bad = urllib.request.Request(
+            url + "/caption", data=b"not-an-npz", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(bad, timeout=30)
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
+        thread.join()
+        engine.close()
