@@ -50,6 +50,14 @@ def run_create_input_files(preset: str, argv=None):
     p.add_argument("--streaming", action="store_true",
                    help="additionally build the HDF5 sidecar stores "
                         "for the constant-memory streaming loader")
+    p.add_argument("--image-workers", type=int, default=None,
+                   help="workers for the image read+resize pipeline "
+                        "(default min(8, cpus); 1 = serial); output is "
+                        "bit-identical regardless")
+    p.add_argument("--image-pool", choices=["process", "thread"],
+                   default="process",
+                   help="worker kind (process default: the resize stack "
+                        "holds the GIL, threads cap out ~1.2x)")
     args = p.parse_args(argv)
     from icek_tpu.data.input_files import InputFileWriter
 
@@ -57,6 +65,8 @@ def run_create_input_files(preset: str, argv=None):
         cfg, args.splits, args.entities, args.images, args.output,
         knowledge_context_path=args.knowledge if cfg.model.has_facts else None,
         wordmap_file_path=args.wordmap, seed=args.seed,
+        image_workers=args.image_workers,
+        image_processes=args.image_pool == "process",
     )
     writer.run()
     if args.streaming:

@@ -132,6 +132,16 @@ class TrainConfig:
     # never crosses the host->device link (~30 MB/step at batch 256).
     # 0 disables.  Single-process, frozen-encoder training only.
     device_token_cache_gb: float = 4.0
+    # Fault tolerance: also write the rolling mid-epoch STEP checkpoint
+    # every N train batches (0 = epoch boundaries only).  Resume re-enters
+    # the epoch at the exact next batch — bit-identical to an
+    # uninterrupted run (tests/test_preempt_resume.py).
+    checkpoint_every_steps: int = 0
+    # Catch SIGTERM (the cloud preemption notice) during training: finish
+    # the in-flight step, write the STEP checkpoint, return cleanly.
+    # Single-process runs only (multi-process preemption is handled by the
+    # interval checkpoints — a signal would hit processes mid-collective).
+    save_on_preempt: bool = True
     data_axis: str = "data"          # mesh axis for batch sharding
     model_axis: str = "model"        # mesh axis for vocab/embedding sharding
 

@@ -127,16 +127,23 @@ class CaptionDataset:
     def epoch_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
                       pad_partial: bool = True, with_images: bool = True,
                       raw_images: bool = False,
-                      process_index: int = 0, process_count: int = 1):
+                      process_index: int = 0, process_count: int = 1,
+                      start_batch: int = 0):
         """Ready batch dicts for one epoch (the uniform interface the train
         loop consumes; the streaming dataset implements it with sequential
         range reads + a windowed shuffle).  ``batch_size`` is the GLOBAL
         batch size; with ``process_count > 1`` each dict holds this
         process's ``batch_size // process_count`` rows of it.
         ``raw_images`` yields the stored f16 CHW rows for in-graph
-        normalization (see :meth:`batch`)."""
-        for idx in self.index_batches(batch_size, shuffle, seed, pad_partial,
-                                      process_index, process_count):
+        normalization (see :meth:`batch`).  ``start_batch`` skips the first
+        batches of the (deterministically seeded) epoch without
+        materializing them — mid-epoch resume (train/loop.py)."""
+        for j, idx in enumerate(
+            self.index_batches(batch_size, shuffle, seed, pad_partial,
+                               process_index, process_count)
+        ):
+            if j < start_batch:
+                continue
             yield self.batch(idx, with_images=with_images,
                              raw_images=raw_images)
 

@@ -29,6 +29,43 @@ from icek_tpu.data import codec, context, images
 SPLITS = ("TRAIN", "VAL", "TEST")
 
 
+def _bounded_ordered_map(fn, items, workers: int, ahead: int = 4,
+                         processes: bool = False):
+    """Map ``fn`` over ``items`` with a worker pool, yielding results IN
+    ORDER with at most ``workers * ahead`` tasks in flight — parallel
+    read+resize without buffering a whole 800k-image split if the
+    (single-threaded HDF5) writer ever falls behind.
+
+    ``processes=True`` uses a fork-based process pool (``fn`` and items
+    must be picklable): the decode+resize stack holds the GIL through its
+    numpy inner loops, so threads alone cap out quickly."""
+    if workers <= 1:
+        for item in items:
+            yield fn(item)
+        return
+    from collections import deque
+
+    if processes:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        ex = ProcessPoolExecutor(
+            max_workers=workers, mp_context=mp.get_context("fork")
+        )
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=workers)
+    with ex:
+        window: deque = deque()
+        for item in items:
+            window.append(ex.submit(fn, item))
+            if len(window) >= workers * ahead:
+                yield window.popleft().result()
+        while window:
+            yield window.popleft().result()
+
+
 class InputFileWriter:
     def __init__(
         self,
@@ -41,7 +78,18 @@ class InputFileWriter:
         wordmap_file_path: Optional[str] = None,
         update_wordmap: bool = False,
         seed: Optional[int] = None,
+        image_workers: Optional[int] = None,
+        image_processes: bool = True,
     ):
+        """``image_workers``: worker count for the image read+resize
+        pipeline (the prep wall-clock at NYTimes800k scale).
+        None = min(8, cpu_count); 1 = the serial reference behavior.
+        ``image_processes`` forks worker processes (default — the
+        decode+resize stack holds the GIL through its numpy inner loops,
+        so threads cap out near 1.2x); False uses threads.  Output is
+        bit-identical regardless of worker count or pool kind — rows are
+        written in order (tests/test_train_e2e.py::test_parallel_image_prep
+        _bit_identical)."""
         self.cfg = cfg
         self.data_cfg = cfg.data
         with open(splits_captions_json_path) as f:
@@ -57,6 +105,10 @@ class InputFileWriter:
         self.wordmap_file_path = wordmap_file_path
         self.update_wordmap = update_wordmap
         self.rng = random.Random(seed) if seed is not None else random
+        if image_workers is None:
+            image_workers = min(8, os.cpu_count() or 1)
+        self.image_workers = max(1, image_workers)
+        self.image_processes = image_processes
         os.makedirs(output_dir, exist_ok=True)
 
     # -- wordmap --------------------------------------------------------
@@ -194,8 +246,17 @@ class InputFileWriter:
                     (len(records), 3, dc.img_size, dc.img_size),
                     dtype="float16",
                 )
-                for i, rec in enumerate(records):
-                    dset[i] = images.read_and_resize(rec["image_path"], dc.img_size)
+                from functools import partial
+
+                for i, arr in enumerate(
+                    _bounded_ordered_map(
+                        partial(images.read_and_resize, size=dc.img_size),
+                        [rec["image_path"] for rec in records],
+                        self.image_workers,
+                        processes=self.image_processes,
+                    )
+                ):
+                    dset[i] = arr
 
             def dump_json(kind, key):
                 with open(

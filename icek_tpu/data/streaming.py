@@ -196,6 +196,7 @@ class StreamingCaptionDataset:
         raw_images: bool = False,
         block_rows: int = 512, window_blocks: int = 4, ring_depth: int = 8,
         copy: bool = False, process_index: int = 0, process_count: int = 1,
+        start_batch: int = 0,
     ):
         """Ready batch dicts for one epoch with SEQUENTIAL disk I/O and
         REUSED host buffers.
@@ -346,12 +347,17 @@ class StreamingCaptionDataset:
             order = rng.permutation(m) if shuffle else np.arange(m)
             n_full = m // batch_size
             for i in range(n_full):
+                yielded += 1
+                if yielded <= start_batch:
+                    # mid-epoch resume: the prefix's range reads + window
+                    # shuffle replay (they feed the carry rows and the rng
+                    # state), but the take/normalize/yield are skipped
+                    continue
                 sel = order[i * batch_size : (i + 1) * batch_size]
                 out = ring[ring_i]
                 ring_i = (ring_i + 1) % ring_depth
                 for k, v in buf.items():
                     np.take(v, sel, axis=0, out=out[k])
-                yielded += 1
                 yield finish(out)
             rest = order[n_full * batch_size :]
             carry_cnt = len(rest)
@@ -359,24 +365,27 @@ class StreamingCaptionDataset:
                 for k, v in buf.items():
                     v[:carry_cnt] = v[rest]
         if carry_cnt and pad_partial:
-            out = ring[ring_i]
-            ring_i = (ring_i + 1) % ring_depth
-            for k, v in buf.items():
-                out[k][:carry_cnt] = v[:carry_cnt]
-                out[k][carry_cnt:] = v[carry_cnt - 1 : carry_cnt]
-            lengths = out["lengths"].copy()
-            lengths[carry_cnt:] = 0
             yielded += 1
-            yield finish(out, lengths_override=lengths)
+            if yielded > start_batch:
+                out = ring[ring_i]
+                ring_i = (ring_i + 1) % ring_depth
+                for k, v in buf.items():
+                    out[k][:carry_cnt] = v[:carry_cnt]
+                    out[k][carry_cnt:] = v[carry_cnt - 1 : carry_cnt]
+                lengths = out["lengths"].copy()
+                lengths[carry_cnt:] = 0
+                yield finish(out, lengths_override=lengths)
         # SPMD lockstep: shards whose block share ran short emit all-padding
         # batches (length 0, masked out) until every process has yielded the
         # globally agreed step count.
         while n_steps is not None and yielded < n_steps:
+            yielded += 1
+            if yielded <= start_batch:
+                continue
             out = ring[ring_i]
             ring_i = (ring_i + 1) % ring_depth
             for k, v in out.items():
                 v[:] = 0
-            yielded += 1
             yield finish(out)
 
     def batch(self, idx: np.ndarray, with_images: bool = True,

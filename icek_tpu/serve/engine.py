@@ -241,6 +241,17 @@ class ServingEngine:
             for mode, group in by_mode.items():
                 self._run_batch(mode, group)
             if stop:
+                # fail any request that raced past the closed check after
+                # the shutdown sentinel — never leave a future unresolved
+                while True:
+                    try:
+                        leftover = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if not isinstance(leftover, _Shutdown):
+                        leftover.future.set_exception(
+                            RuntimeError("ServingEngine closed")
+                        )
                 return
 
     def _run_batch(self, mode: str, group: List[_Pending]):

@@ -38,7 +38,13 @@ def save_checkpoint(
     opt_state: Any,
     encoder_params: Any = None,
     is_best: bool = False,
+    step: Optional[int] = None,
 ) -> str:
+    """``step`` marks a MID-epoch checkpoint (fault tolerance): meta
+    records the next batch index of ``epoch`` to run, the file is the
+    rolling ``checkpoint_STEP_{base}``, and resume re-enters the same
+    epoch at that batch (train/loop.py).  Epoch checkpoints (step=None)
+    keep the reference rotation protocol."""
     os.makedirs(directory, exist_ok=True)
     # optimizer states are (named)tuples — store leaves and rebuild against a
     # template treedef at load time
@@ -47,14 +53,15 @@ def save_checkpoint(
         if opt_state is not None
         else []
     )
+    meta = {
+        "epoch": epoch,
+        "epochs_since_improvement": epochs_since_improvement,
+        "loss": float(loss),
+    }
+    if step is not None:
+        meta["step"] = int(step)
     payload = {
-        "meta": json.dumps(
-            {
-                "epoch": epoch,
-                "epochs_since_improvement": epochs_since_improvement,
-                "loss": float(loss),
-            }
-        ),
+        "meta": json.dumps(meta),
         "params": _to_numpy(params),
         "opt_leaves": opt_leaves,
         "encoder_params": _to_numpy(encoder_params)
@@ -62,13 +69,19 @@ def save_checkpoint(
         else {},
     }
     blob = serialization.msgpack_serialize(payload)
-    if epoch % 2 == 0:
+    if step is not None:
+        filename = f"checkpoint_STEP_{base_name}.msgpack"
+    elif epoch % 2 == 0:
         filename = f"checkpoint_{epoch}_{base_name}.msgpack"
     else:
         filename = f"checkpoint_{base_name}.msgpack"
     path = os.path.join(directory, filename)
-    with open(path, "wb") as f:
+    # write-then-rename: a preemption mid-write must not corrupt the
+    # rolling file a later auto-resume would pick up
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
+    os.replace(tmp, path)
     if is_best:
         with open(os.path.join(directory, "BEST_" + filename), "wb") as f:
             f.write(blob)
@@ -104,11 +117,15 @@ def load_checkpoint(path: str, opt_state_template: Any = None) -> Tuple[Any, Any
 
 
 def latest_checkpoint(directory: str, base_name: str) -> Optional[str]:
-    """Most recent checkpoint for auto-resume (rolling file wins ties by
-    epoch recorded in meta)."""
+    """Most recent checkpoint for auto-resume.
+
+    Ranked by where training would resume: an epoch-E checkpoint resumes
+    at (E+1, batch 0); a mid-epoch STEP checkpoint at (E, batch s).  A
+    STEP file from a preempted epoch E therefore outranks the epoch-(E-1)
+    file but loses to the completed epoch-E file."""
     if not os.path.isdir(directory):
         return None
-    best_path, best_epoch = None, -1
+    best_path, best_key = None, (-1, -1)
     for name in os.listdir(directory):
         if not name.endswith(f"{base_name}.msgpack") or name.startswith("BEST_"):
             continue
@@ -117,7 +134,11 @@ def latest_checkpoint(directory: str, base_name: str) -> Optional[str]:
             _, _, _, meta = load_checkpoint(path)
         except Exception:
             continue
-        if meta["epoch"] > best_epoch:
-            best_epoch = meta["epoch"]
+        if "step" in meta:
+            key = (meta["epoch"], meta["step"])
+        else:
+            key = (meta["epoch"] + 1, 0)
+        if key > best_key:
+            best_key = key
             best_path = path
     return best_path

@@ -51,6 +51,12 @@ class TrainResult:
     epochs_run: int
     params: dict
     encoder_params: dict
+    preempted: bool = False
+
+
+class Preempted(Exception):
+    """Raised by the step callback after the preemption checkpoint is
+    written; unwinds run_epoch so train() can return cleanly."""
 
 
 def _batch_assembler(mesh):
@@ -87,7 +93,14 @@ def run_epoch(
     batch_size: int, rng_key, epoch: int, print_freq: int = 100,
     log: Callable[[str], None] = print, enc_opt_state=None,
     bn_train_mode: bool = False, mesh=None, raw_images: bool = False,
+    start_batch: int = 0, step_callback=None,
 ):
+    """``start_batch`` resumes a deterministically-seeded epoch mid-way
+    (the loader skips the prefix, per-step rng folds in the GLOBAL batch
+    index, so the resumed tail is bit-identical to the uninterrupted
+    run).  ``step_callback(i, params, opt_state, encoder_params,
+    enc_opt_state)`` runs after every step — the fault-tolerance hook
+    (may raise :class:`Preempted` after saving)."""
     batch_time, data_time, losses = Meter(), Meter(), Meter()
     start = time.time()
     n_batches = -(-len(data) // batch_size)
@@ -96,6 +109,7 @@ def run_epoch(
             batch_size, shuffle=True, seed=epoch, raw_images=raw_images,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            start_batch=start_batch,
         ),
         _batch_assembler(mesh),
     )
@@ -107,7 +121,7 @@ def run_epoch(
         for l, c in pending:
             losses.update(float(l), int(c))
         pending.clear()
-    for i, batch in enumerate(batches):
+    for i, batch in enumerate(batches, start=start_batch):
         data_time.update(time.time() - start)
         step_rng = jax.random.fold_in(rng_key, i)
         if fine_tune:
@@ -136,6 +150,8 @@ def run_epoch(
             # ring buffers into jit — the per-step sync keeps the consumer
             # within the ring (data/streaming.py aliasing contract).
             losses.update(float(loss), int(count))
+        if step_callback is not None:
+            step_callback(i, params, opt_state, encoder_params, enc_opt_state)
         batch_time.update(time.time() - start)
         start = time.time()
         if i % print_freq == 0:
@@ -239,7 +255,7 @@ def train(
     # after shard_params: Adam's mu/nu (zeros_like) inherit the shardings
     opt_state = optimizer.init(params)
 
-    start_epoch, stale, best_loss = 0, 0, float("inf")
+    start_epoch, stale, best_loss, resume_step = 0, 0, float("inf"), 0
     if resume_from:
         params, restored_opt, enc, meta = ckpt.load_checkpoint(resume_from, opt_state)
         if restored_opt is not None:
@@ -256,10 +272,20 @@ def train(
                     lambda x, r: jax.device_put(jnp.asarray(x), r.sharding),
                     restored_opt, ref,
                 )
-        start_epoch = meta["epoch"] + 1
+        if "step" in meta:
+            # mid-epoch (fault-tolerance) checkpoint: re-enter the SAME
+            # epoch at the recorded batch; the loader skips the prefix of
+            # its deterministically seeded stream
+            start_epoch = meta["epoch"]
+            resume_step = meta["step"]
+        else:
+            start_epoch = meta["epoch"] + 1
         stale = meta["epochs_since_improvement"]
         best_loss = meta["loss"]
-        log(f"Resumed from {resume_from} at epoch {start_epoch}")
+        log(
+            f"Resumed from {resume_from} at epoch {start_epoch}"
+            + (f" batch {resume_step}" if resume_step else "")
+        )
 
     # Cache frozen-encoder image tokens once per split.
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
@@ -354,53 +380,120 @@ def train(
     )
     profile_dir = profiling.profile_dir_from_env()
 
+    # ---- fault tolerance: mid-epoch STEP checkpoints + SIGTERM handling.
+    # A preemption notice sets the flag; the step callback then writes the
+    # rolling STEP checkpoint and unwinds via Preempted.  Interval saves
+    # (checkpoint_every_steps) are deterministic across processes, so they
+    # stay on under a mesh; the signal path is single-process only.
+    import signal
+    import threading
+
+    preempt_flag = threading.Event()
+    prev_handler = None
+    catch_signals = (
+        tc.save_on_preempt
+        and jax.process_count() == 1
+        and threading.current_thread() is threading.main_thread()
+    )
+    if catch_signals:
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda *_: preempt_flag.set()
+        )
+
+    def make_step_callback(epoch, stale, best_loss):
+        every = tc.checkpoint_every_steps
+        if not every and not catch_signals:
+            return None
+
+        def step_cb(i, p, o, e, eo):
+            preempt = preempt_flag.is_set()
+            if not preempt and not (every and (i + 1) % every == 0):
+                return
+            save_p, save_o, save_e = p, o, e
+            if mesh is not None and jax.process_count() > 1:
+                save_p = mesh_lib.gather_for_host(p, mesh)
+                save_o = mesh_lib.gather_for_host(o, mesh)
+                save_e = mesh_lib.gather_for_host(e, mesh)
+            if jax.process_index() == 0:
+                path = ckpt.save_checkpoint(
+                    checkpoint_dir, cfg.data.base_name, epoch, stale,
+                    best_loss, save_p, save_o, save_e, step=i + 1,
+                )
+                if preempt:
+                    log(f"PREEMPTED: saved {path} at epoch {epoch} batch {i + 1}")
+            if preempt:
+                raise Preempted
+        return step_cb
+
     epochs = max_epochs if max_epochs is not None else tc.epochs
     epoch = start_epoch
-    for epoch in range(start_epoch, epochs):
-        if stale == tc.max_epochs_since_improvement:
-            break
-        if stale > 0 and stale % tc.lr_decay_every == 0:
-            opt_state = step_lib.decay_learning_rate(opt_state, tc.lr_decay_factor)
-            if enc_opt_state is not None:
-                enc_opt_state = step_lib.decay_learning_rate(
-                    enc_opt_state, tc.lr_decay_factor
+    preempted = False
+    try:
+        for epoch in range(start_epoch, epochs):
+            if stale == tc.max_epochs_since_improvement:
+                break
+            if stale > 0 and stale % tc.lr_decay_every == 0:
+                opt_state = step_lib.decay_learning_rate(opt_state, tc.lr_decay_factor)
+                if enc_opt_state is not None:
+                    enc_opt_state = step_lib.decay_learning_rate(
+                        enc_opt_state, tc.lr_decay_factor
+                    )
+                log(
+                    "DECAYING learning rate to "
+                    f"{float(opt_state.hyperparams['learning_rate']):.6f}"
                 )
-            log(
-                "DECAYING learning rate to "
-                f"{float(opt_state.hyperparams['learning_rate']):.6f}"
+            try:
+                with profiling.trace(profile_dir if epoch == start_epoch else None):
+                    (params, opt_state, train_loss, encoder_params,
+                     enc_opt_state) = run_epoch(
+                        train_step, params, opt_state, encoder_params, train_data,
+                        tc.batch_size, jax.random.fold_in(k_train, epoch), epoch,
+                        tc.print_freq, log, enc_opt_state=enc_opt_state,
+                        bn_train_mode=tc.bn_train_mode and not tc.fine_tune_encoder,
+                        mesh=mesh, raw_images=raw_image_batches,
+                        start_batch=resume_step if epoch == start_epoch else 0,
+                        step_callback=make_step_callback(epoch, stale, best_loss),
+                    )
+            except Preempted:
+                preempted = True
+                break
+            val_loss = run_validation(
+                eval_step, params, encoder_params, val_data, tc.batch_size,
+                tc.print_freq, log, mesh=mesh, raw_images=raw_image_batches,
             )
-        with profiling.trace(profile_dir if epoch == start_epoch else None):
-            (params, opt_state, train_loss, encoder_params,
-             enc_opt_state) = run_epoch(
-                train_step, params, opt_state, encoder_params, train_data,
-                tc.batch_size, jax.random.fold_in(k_train, epoch), epoch,
-                tc.print_freq, log, enc_opt_state=enc_opt_state,
-                bn_train_mode=tc.bn_train_mode and not tc.fine_tune_encoder,
-                mesh=mesh, raw_images=raw_image_batches,
+            metric_log.log(
+                "epoch", epoch=epoch, train_loss=train_loss, val_loss=val_loss,
+                lr=float(opt_state.hyperparams["learning_rate"]),
             )
-        val_loss = run_validation(
-            eval_step, params, encoder_params, val_data, tc.batch_size,
-            tc.print_freq, log, mesh=mesh, raw_images=raw_image_batches,
-        )
-        metric_log.log(
-            "epoch", epoch=epoch, train_loss=train_loss, val_loss=val_loss,
-            lr=float(opt_state.hyperparams["learning_rate"]),
-        )
-        is_best = val_loss < best_loss
-        best_loss = min(val_loss, best_loss)
-        stale = 0 if is_best else stale + 1
-        if not is_best:
-            log(f"Epochs since last improvement: {stale}")
-        save_params, save_opt, save_enc = params, opt_state, encoder_params
-        if mesh is not None and jax.process_count() > 1:
-            # every process participates in the all-gather (collective);
-            # only the primary writes below
-            save_params = mesh_lib.gather_for_host(params, mesh)
-            save_opt = mesh_lib.gather_for_host(opt_state, mesh)
-            save_enc = mesh_lib.gather_for_host(encoder_params, mesh)
-        if jax.process_index() == 0:
-            ckpt.save_checkpoint(
-                checkpoint_dir, cfg.data.base_name, epoch, stale, val_loss,
-                save_params, save_opt, save_enc, is_best,
-            )
-    return TrainResult(best_loss, epoch + 1 - start_epoch, params, encoder_params)
+            is_best = val_loss < best_loss
+            best_loss = min(val_loss, best_loss)
+            stale = 0 if is_best else stale + 1
+            if not is_best:
+                log(f"Epochs since last improvement: {stale}")
+            save_params, save_opt, save_enc = params, opt_state, encoder_params
+            if mesh is not None and jax.process_count() > 1:
+                # every process participates in the all-gather (collective);
+                # only the primary writes below
+                save_params = mesh_lib.gather_for_host(params, mesh)
+                save_opt = mesh_lib.gather_for_host(opt_state, mesh)
+                save_enc = mesh_lib.gather_for_host(encoder_params, mesh)
+            if jax.process_index() == 0:
+                ckpt.save_checkpoint(
+                    checkpoint_dir, cfg.data.base_name, epoch, stale, val_loss,
+                    save_params, save_opt, save_enc, is_best,
+                )
+                # the completed epoch outranks any STEP file from its
+                # interior; drop the stale rolling file
+                step_file = os.path.join(
+                    checkpoint_dir,
+                    f"checkpoint_STEP_{cfg.data.base_name}.msgpack",
+                )
+                if not preempted and os.path.exists(step_file):
+                    os.remove(step_file)
+    finally:
+        if catch_signals:
+            signal.signal(signal.SIGTERM, prev_handler)
+    return TrainResult(
+        best_loss, epoch + 1 - start_epoch, params, encoder_params,
+        preempted=preempted,
+    )

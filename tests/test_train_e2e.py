@@ -731,3 +731,40 @@ def test_fine_tune_raw_images_batch_matches_host_normalized():
         ),
         enc_raw, enc_host,
     )
+
+
+def test_parallel_image_prep_bit_identical(tmp_path):
+    """The parallel image read+resize pipeline (InputFileWriter
+    image_workers>1, thread or process pool) must produce byte-identical
+    input files to the serial path — rows are written in order, and the
+    resize is deterministic."""
+    import h5py
+
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    variants = {
+        "serial": dict(image_workers=1),
+        "threads": dict(image_workers=4, image_processes=False),
+        "procs": dict(image_workers=4, image_processes=True),
+    }
+    outs = {}
+    for tag, kwargs in variants.items():
+        out_dir = tmp_path / f"out_{tag}"
+        input_files.InputFileWriter(
+            cfg, str(raw / "captions_split.json"),
+            str(raw / "entity_context.pkl"), str(raw / "images"),
+            str(out_dir), seed=0, **kwargs,
+        ).run()
+        outs[tag] = out_dir
+    names = sorted(p.name for p in outs["serial"].iterdir())
+    for tag in ("threads", "procs"):
+        assert names == sorted(p.name for p in outs[tag].iterdir())
+        for name in names:
+            a, b = outs["serial"] / name, outs[tag] / name
+            if name.endswith(".hdf5"):
+                with h5py.File(a) as ha, h5py.File(b) as hb:
+                    np.testing.assert_array_equal(
+                        ha["images"][:], hb["images"][:]
+                    )
+            else:
+                assert a.read_bytes() == b.read_bytes(), (tag, name)
