@@ -111,7 +111,12 @@ def run_train(preset: str, argv=None):
     cfg = config_lib.get_config(preset)
     p = base_parser(f"Train the {preset} captioner")
     p.add_argument("--checkpoint-dir", default=".")
-    p.add_argument("--resume", default=None)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint to resume from; 'auto' picks the most "
+                        "recent in --checkpoint-dir (mid-epoch STEP files "
+                        "rank by resume position), so re-running the same "
+                        "command after a preemption continues exactly "
+                        "where it stopped")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--glove", default=None,
                    help="path to GloVe-format embeddings for word init")
@@ -133,11 +138,19 @@ def run_train(preset: str, argv=None):
     pretrained = None
     if args.glove:
         pretrained = load_glove_embeddings(args.glove, wm, cfg.model.emb_dim)
+    resume = args.resume
+    if resume == "auto":
+        from icek_tpu.train import checkpoint as ckpt_lib
+
+        resume = ckpt_lib.latest_checkpoint(
+            args.checkpoint_dir, cfg.data.base_name
+        )
+        print(f"auto-resume: {resume or 'no checkpoint found, fresh run'}")
     train_loop.train(
         cfg, args.data_dir, len(wm), wm.pad_id,
         checkpoint_dir=args.checkpoint_dir,
         pretrained_embeddings=pretrained,
-        resume_from=args.resume,
+        resume_from=resume,
         max_epochs=args.epochs,
         mesh=mesh,
     )

@@ -148,6 +148,9 @@ def main():
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=3.0)
     ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--buckets", type=int, nargs="+", default=None,
+                    help="explicit bucket ladder (fewer buckets = fewer "
+                         "compiles; default powers of two up to max-batch)")
     args = ap.parse_args()
 
     n_samples = 64
@@ -164,6 +167,7 @@ def main():
     engine = ServingEngine(
         cfg, wm, params, encoder_params, beam_size=args.beam,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        buckets=args.buckets,
     )
     samples = []
     for i in range(n_samples):

@@ -165,6 +165,12 @@ class DecodeConfig:
     # Fused decoder-step Pallas megakernel (kernels/decoder_step.py);
     # None = beam_decode's measured default.
     use_megakernel: Optional[bool] = None
+    # "int8" stores beam-decode KV caches + precomputed cross-attention
+    # K/V per-row-quantized (half the HBM payload; decode/beam.py).
+    # Measured SLOWER on v5e-1 (1420 vs 1572 caps/s — the scale
+    # elementwise breaks the softmax->AV fusion); serving-mode option for
+    # HBM-poorer parts / larger memories.  Not bit-parity with float.
+    kv_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

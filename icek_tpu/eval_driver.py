@@ -171,6 +171,7 @@ class Evaluator:
                 cfg.decode.max_caption_len, beam_size=self.beam_size,
                 compute_dtype=self.compute_dtype,
                 use_megakernel=cfg.decode.use_megakernel,
+                kv_dtype=cfg.decode.kv_dtype,
             )
             return out
 

@@ -180,3 +180,23 @@ def test_http_server_roundtrip(serving_setup):
         server.shutdown()
         thread.join()
         engine.close()
+
+
+def test_engine_int8_kv_serving_mode(serving_setup):
+    """cfg.decode.kv_dtype="int8" (the HBM-poor serving option) plumbs
+    through the Evaluator/engine stack and still produces plausible
+    captions (not bit-parity with float by design — quality-checked at
+    the beam_decode level in tests/test_decode.py)."""
+    import dataclasses
+
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    cfg8 = cfg.replace(
+        decode=dataclasses.replace(cfg.decode, kv_dtype="int8")
+    )
+    with ServingEngine(
+        cfg8, wm, params, encoder_params, beam_size=3, max_batch=2,
+        max_wait_ms=0.0,
+    ) as engine:
+        out = engine.caption(_sample(data, 0), timeout=300)
+    assert isinstance(out["caption"], str)
+    assert len(out["tokens"]) > 0
