@@ -220,9 +220,24 @@ class ServingEngine:
             if isinstance(first, _Shutdown):
                 return
             pending = [first]
-            deadline = first.t_submit + self.max_wait_s
             stop = False
+            # FIRST drain everything already queued, without waiting: a
+            # batch launch must never leave ready requests behind.  (The
+            # deadline below only governs waiting for FUTURE arrivals —
+            # measuring it against the oldest request's submit time alone
+            # collapsed fills to ~1 whenever a decode outlasted the wait
+            # window, serializing the whole backlog one request per batch.)
             while len(pending) < self.max_batch:
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if isinstance(nxt, _Shutdown):
+                    stop = True
+                    break
+                pending.append(nxt)
+            deadline = first.t_submit + self.max_wait_s
+            while not stop and len(pending) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
