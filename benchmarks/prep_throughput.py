@@ -67,6 +67,8 @@ def main():
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 4, 8])
     ap.add_argument("--pool", choices=["thread", "process", "both"],
                     default="both")
+    ap.add_argument("--native", choices=["on", "off", "both"], default="on",
+                    help="A/B the C++ resize kernel (native/resize.cpp)")
     args = ap.parse_args()
 
     import dataclasses
@@ -78,34 +80,38 @@ def main():
     cfg = config_lib.georic()
     cfg = cfg.replace(data=dataclasses.replace(cfg.data, base_name="prep_bench"))
     pools = {"thread": [False], "process": [True], "both": [False, True]}
+    natives = {"on": ["1"], "off": ["0"], "both": ["0", "1"]}[args.native]
     base = None
-    for workers in args.workers:
-        for procs in ([False] if workers == 1 else pools[args.pool]):
-            out_dir = os.path.join(DATA_DIR, f"out_w{workers}")
-            shutil.rmtree(out_dir, ignore_errors=True)
-            writer = InputFileWriter(
-                cfg, os.path.join(DATA_DIR, "captions_split.json"),
-                os.path.join(DATA_DIR, "entity_context.pkl"),
-                os.path.join(DATA_DIR, "images"), out_dir,
-                seed=0, image_workers=workers, image_processes=procs,
-            )
-            t0 = time.perf_counter()
-            writer.run()
-            dt = time.perf_counter() - t0
-            rate = args.n / dt
-            if base is None:
-                base = rate
-            print(json.dumps({
-                "metric": "prep_images_per_sec",
-                "value": round(rate, 2),
-                "unit": "images/sec",
-                "workers": workers,
-                "pool": "process" if procs else "thread",
-                "n": args.n,
-                "source_px": f"{args.size * 4 // 3}x{args.size}",
-                "wall_s": round(dt, 2),
-                "vs_serial": round(rate / base, 2),
-            }))
+    for native_flag in natives:
+        os.environ["ICEK_NATIVE_RESIZE"] = native_flag
+        for workers in args.workers:
+            for procs in ([False] if workers == 1 else pools[args.pool]):
+                out_dir = os.path.join(DATA_DIR, f"out_w{workers}")
+                shutil.rmtree(out_dir, ignore_errors=True)
+                writer = InputFileWriter(
+                    cfg, os.path.join(DATA_DIR, "captions_split.json"),
+                    os.path.join(DATA_DIR, "entity_context.pkl"),
+                    os.path.join(DATA_DIR, "images"), out_dir,
+                    seed=0, image_workers=workers, image_processes=procs,
+                )
+                t0 = time.perf_counter()
+                writer.run()
+                dt = time.perf_counter() - t0
+                rate = args.n / dt
+                if base is None:
+                    base = rate
+                print(json.dumps({
+                    "metric": "prep_images_per_sec",
+                    "value": round(rate, 2),
+                    "unit": "images/sec",
+                    "workers": workers,
+                    "pool": "process" if procs else "thread",
+                    "native_resize": native_flag == "1",
+                    "n": args.n,
+                    "source_px": f"{args.size * 4 // 3}x{args.size}",
+                    "wall_s": round(dt, 2),
+                    "vs_serial": round(rate / base, 2),
+                }))
 
 
 if __name__ == "__main__":

@@ -75,6 +75,16 @@ def _resize_pil(img: np.ndarray, size: int) -> np.ndarray:
         return np.asarray(im, dtype=np.float32) / 255.0
 
 
+def _use_native_resize() -> bool:
+    import os
+
+    if os.environ.get("ICEK_NATIVE_RESIZE", "1") == "0":
+        return False
+    from icek_tpu import native
+
+    return native.resize_available()
+
+
 def _prepare(img: np.ndarray, size: int) -> np.ndarray:
     """HWC array -> (3, size, size) float16 in [0, 1], the reference's
     stored-HDF5 numeric contract."""
@@ -83,6 +93,13 @@ def _prepare(img: np.ndarray, size: int) -> np.ndarray:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[-1] == 4:  # RGBA: drop alpha (reference would assert-fail)
         img = img[..., :3]
+    if img.dtype == np.uint8 and img.shape[0] >= 2 and img.shape[1] >= 2 \
+            and _use_native_resize():
+        # C++ fused /255 -> resize -> clip -> CHW -> f16 (native/resize.cpp),
+        # bit-identical to the scipy path below (tests/test_native.py).
+        from icek_tpu import native
+
+        return native.resize_chw_f16(img, size, size)
     if _have_scipy():
         arr = resize_like_reference(img, size, size)
     else:  # pragma: no cover - scipy is in the image

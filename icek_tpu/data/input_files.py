@@ -248,6 +248,13 @@ class InputFileWriter:
                 )
                 from functools import partial
 
+                from icek_tpu import native
+
+                # build the native resize library (if available) BEFORE
+                # forking workers, so children inherit it instead of racing
+                # to compile it.
+                native.resize_available()
+
                 for i, arr in enumerate(
                     _bounded_ordered_map(
                         partial(images.read_and_resize, size=dc.img_size),

@@ -20,19 +20,43 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fuzzy_match.cpp")
 _LIB = os.path.join(_HERE, "_fuzzy_match.so")
+_RESIZE_SRC = os.path.join(_HERE, "resize.cpp")
+_RESIZE_LIB = os.path.join(_HERE, "_resize.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
-def _build() -> Optional[str]:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+def _compile(src: str, lib: str, extra: Sequence[str] = ()) -> Optional[str]:
+    # compile to a per-pid temp path then atomically rename: concurrent
+    # builders (e.g. forked prep workers racing on a cold cache) each get a
+    # complete library instead of a torn write.
+    tmp = f"{lib}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *extra, src,
+           "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-        return _LIB
+        os.replace(tmp, lib)
+        return lib
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return None
+
+
+def _build() -> Optional[str]:
+    return _compile(_SRC, _LIB)
+
+
+def _fresh(lib: str, src: str) -> bool:
+    """lib exists and is newer than its source."""
+    try:
+        return os.path.getmtime(lib) >= os.path.getmtime(src)
+    except OSError:
+        return False
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -43,7 +67,7 @@ def load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _LIB if os.path.exists(_LIB) else _build()
+        path = _LIB if _fresh(_LIB, _SRC) else _build()
         if path is None:
             _build_failed = True
             return None
@@ -102,3 +126,109 @@ def fuzzy_lookup(
 
 def available() -> bool:
     return load() is not None
+
+
+# ---------------------------------------------------------------------------
+# Native skimage-parity resize (resize.cpp) — the prep pipeline's hot host
+# stage.  Bit-identical float16 output vs the scipy path in data/images.py
+# (tests/test_native.py); kernels precomputed by the caller with numpy so
+# numpy's pairwise-sum normalization is reproduced by construction.
+
+_resize_lock = threading.Lock()
+_resize_lib: Optional[ctypes.CDLL] = None
+_resize_failed = False
+
+_D = ctypes.POINTER(ctypes.c_double)
+
+
+def load_resize() -> Optional[ctypes.CDLL]:
+    """The resize shared library, building it if needed; None if unavailable."""
+    global _resize_lib, _resize_failed
+    if _resize_lib is not None or _resize_failed:
+        return _resize_lib
+    with _resize_lock:
+        if _resize_lib is not None or _resize_failed:
+            return _resize_lib
+        path = (
+            _RESIZE_LIB
+            if _fresh(_RESIZE_LIB, _RESIZE_SRC)
+            # FMA contraction would change the float64 bits vs scipy.
+            else _compile(_RESIZE_SRC, _RESIZE_LIB, ["-ffp-contract=off"])
+        )
+        if path is None:
+            _resize_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            _resize_failed = True
+            return None
+        lib.icek_resize_chw_f16.restype = ctypes.c_int
+        lib.icek_resize_chw_f16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _D, ctypes.c_int64,
+            _D, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint16),
+        ]
+        _resize_lib = lib
+        return _resize_lib
+
+
+def resize_available() -> bool:
+    return load_resize() is not None
+
+
+def _gaussian_kernel(sigma: float) -> np.ndarray:
+    """scipy.ndimage's _gaussian_kernel1d (order 0): radius
+    int(4*sigma + 0.5), normalized with numpy's own sum so the weights are
+    bit-identical to what gaussian_filter uses."""
+    radius = int(4.0 * sigma + 0.5)
+    x = np.arange(-radius, radius + 1)
+    phi = np.exp(-0.5 / (sigma * sigma) * x**2)
+    return phi / phi.sum()
+
+
+def resize_chw_f16(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(H, W, C) uint8 -> (C, out_h, out_w) float16, the fused
+    /255 -> skimage-parity resize -> clip -> CHW -> f16 prep chain.
+
+    Bit-identical to images.resize_like_reference + transpose + astype
+    (enforced by tests/test_native.py).  Caller must ensure the library is
+    available (resize_available()).
+    """
+    lib = load_resize()
+    assert lib is not None
+    assert img.dtype == np.uint8 and img.ndim == 3, (img.dtype, img.shape)
+    img = np.ascontiguousarray(img)
+    h, w, ch = img.shape
+    # anti_aliasing iff any axis downscales; then sigma per axis, and axes
+    # with sigma <= 1e-15 are skipped (gaussian_filter's own skip rule).
+    fy, fx = h / out_h, w / out_w
+    kernels = []
+    for f in (fy, fx):
+        sigma = max(0.0, (f - 1) / 2) if (fy > 1 or fx > 1) else 0.0
+        kernels.append(_gaussian_kernel(sigma) if sigma > 1e-15 else None)
+    ky, kx = kernels
+    lo = float(img.min()) / 255.0
+    hi = float(img.max()) / 255.0
+    out = np.empty((ch, out_h, out_w), dtype=np.float16)
+
+    def _kp(k):
+        if k is None:
+            return None, None, -1
+        k = np.ascontiguousarray(k, dtype=np.float64)
+        # keep the array alive alongside the raw pointer
+        return k, k.ctypes.data_as(_D), len(k) // 2
+
+    ky_arr, kyp, ry = _kp(ky)
+    kx_arr, kxp, rx = _kp(kx)
+    rc = lib.icek_resize_chw_f16(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, ch, kyp, ry, kxp, rx, out_h, out_w, lo, hi,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    assert rc == 0, rc
+    return out

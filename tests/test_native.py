@@ -99,3 +99,79 @@ def test_native_fact_lookup_matches_python():
                 want = hit
             got = context.fuzzy_lookup_fact(q, seen, index)
             assert got == want, (q, seen)
+
+
+# ---------------------------------------------------------------------------
+# Native resize (resize.cpp): bit-identical f16 output vs the scipy path.
+
+
+def _scipy_prep(img, size):
+    from icek_tpu.data import images
+
+    arr = images.resize_like_reference(img, size, size)
+    return arr.transpose(2, 0, 1).astype(np.float16)
+
+
+def test_native_resize_bit_identical_to_scipy_path():
+    from icek_tpu import native
+
+    if not native.resize_available():
+        pytest.skip("no C++ toolchain available")
+    rng = np.random.default_rng(0)
+    cases = [
+        (1066, 800),  # downscale both (typical photo)
+        (300, 120),   # downscale y, upscale x
+        (120, 300),   # upscale y, downscale x
+        (100, 90),    # upscale both
+        (256, 256),   # unit factors (no prefilter)
+        (257, 255),   # near-unit factors
+        (2000, 37),   # extreme aspect ratio
+    ]
+    for h, w in cases:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        want = _scipy_prep(img, 256)
+        got = native.resize_chw_f16(img, 256, 256)
+        assert np.array_equal(
+            want.view(np.uint16), got.view(np.uint16)
+        ), (h, w)
+
+
+def test_native_resize_other_output_sizes_and_flat_images():
+    from icek_tpu import native
+
+    if not native.resize_available():
+        pytest.skip("no C++ toolchain available")
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(512, 384, 3), dtype=np.uint8)
+    for size in (14, 64, 256):
+        want = _scipy_prep(img, size)
+        got = native.resize_chw_f16(img, size, size)
+        assert np.array_equal(want.view(np.uint16), got.view(np.uint16)), size
+    # constant image: clip bounds collapse (lo == hi)
+    flat = np.full((300, 200, 3), 77, dtype=np.uint8)
+    want = _scipy_prep(flat, 256)
+    got = native.resize_chw_f16(flat, 256, 256)
+    assert np.array_equal(want.view(np.uint16), got.view(np.uint16))
+
+
+def test_prepare_uses_native_and_matches_scipy(monkeypatch):
+    """_prepare routes through the native kernel (when built) and its output
+    is bit-identical to the scipy route, gray/RGBA handling included."""
+    from icek_tpu import native
+    from icek_tpu.data import images
+
+    if not native.resize_available():
+        pytest.skip("no C++ toolchain available")
+    rng = np.random.default_rng(2)
+    gray = rng.integers(0, 256, size=(310, 475), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(310, 475, 4), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(310, 475, 3), dtype=np.uint8)
+    for img in (gray, rgba, rgb):
+        native_out = images._prepare(img.copy(), 256)
+        monkeypatch.setenv("ICEK_NATIVE_RESIZE", "0")
+        scipy_out = images._prepare(img.copy(), 256)
+        monkeypatch.delenv("ICEK_NATIVE_RESIZE")
+        assert native_out.dtype == np.float16
+        assert np.array_equal(
+            native_out.view(np.uint16), scipy_out.view(np.uint16)
+        ), img.shape
