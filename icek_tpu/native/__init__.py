@@ -152,8 +152,15 @@ def load_resize() -> Optional[ctypes.CDLL]:
         path = (
             _RESIZE_LIB
             if _fresh(_RESIZE_LIB, _RESIZE_SRC)
-            # FMA contraction would change the float64 bits vs scipy.
-            else _compile(_RESIZE_SRC, _RESIZE_LIB, ["-ffp-contract=off"])
+            # -ffp-contract=off: FMA contraction would change the float64
+            # bits vs scipy.  -march=native only vectorizes ACROSS output
+            # elements (each lane keeps the scalar op order), so it is
+            # bit-safe — and tests/test_native.py would catch any drift.
+            else _compile(
+                _RESIZE_SRC, _RESIZE_LIB,
+                ["-ffp-contract=off", "-march=native"],
+            )
+            or _compile(_RESIZE_SRC, _RESIZE_LIB, ["-ffp-contract=off"])
         )
         if path is None:
             _resize_failed = True

@@ -19,6 +19,8 @@
 //    cc = zoom*(k + 0.5) - 0.5 with zoom = in/out; interpolation term
 //    order is footprint C-order with per-axis weight association
 //    ((v * wy) * wx) — the NI_ZoomShift accumulation.
+//  * /255 uses a 256-entry table of v/255.0 (same double per value as
+//    dividing elementwise).
 //  * Gaussian kernel weights are computed by the CALLER (numpy) and
 //    passed in, so numpy's pairwise-sum normalization is reproduced by
 //    construction.
@@ -26,9 +28,16 @@
 //    round-to-nearest-even without an intermediate float32 double-round,
 //    matching numpy's astype(float16).
 //
+// Scheduling (but never per-element op order) is free to differ from
+// scipy, and does: the Gaussian prefilter runs lazily per ROW, only for
+// the <= 2*outH input rows the zoom stage actually samples — on a
+// typical 1066x800 photo -> 256x256 that skips ~half the axis-0/axis-1
+// filter work scipy performs on rows the resample never reads.
+//
 // Build with -ffp-contract=off: FMA contraction would change the bits.
 
 #include <cstdint>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -50,61 +59,65 @@ inline double mirror_coord(double cc, int64_t n) {
   if (cc < 0.0) cc = -cc;
   if (cc > p) {
     // bring into [0, p) — prep coordinates never get here (|cc| < p for
-    // any zoom toward out>=1), but keep it total.
+    // any zoom toward out >= 1), but keep it total.
     cc -= p * (double)(int64_t)(cc / p);
   }
   if (cc > (double)(n - 1)) cc = p - cc;
   return cc;
 }
 
-// Summation order in both correlators matches scipy's symmetric
-// NI_Correlate1D per output element: center tap first, then symmetric
-// pairs from the OUTERMOST tap inward (determined empirically, see header
-// comment).  Only the loop structure differs between the two for cache
-// friendliness; the per-element float64 op order is identical.
+// Both filter helpers accumulate per output element exactly like scipy's
+// symmetric NI_Correlate1D: center tap first, then symmetric pairs from
+// the OUTERMOST tap inward (determined empirically, see header comment).
 
-// Filter axis 0 of an (n0, row_len) array whose rows are contiguous:
-// whole-row vectorized passes (out_row = center_row*wc, then
-// += (upper+lower)*w per pair).
-void correlate_rows(const double* in, double* out, int64_t n0,
-                    int64_t row_len, const double* w, int64_t r) {
-  std::vector<int64_t> mir(n0 + 2 * r);
-  for (int64_t i = 0; i < (int64_t)mir.size(); ++i)
-    mir[i] = mirror_index(i - r, n0);
+// Axis-0 filter for ONE output row j of an (n0, row_len) image whose rows
+// are contiguous: whole-row vectorized passes over the mirrored window.
+void filter_row_axis0(const double* in, double* dst, int64_t n0,
+                      int64_t row_len, int64_t j, const double* w,
+                      int64_t r) {
+  const double* cp = in + mirror_index(j, n0) * row_len;
   const double wc = w[r];
-  for (int64_t i = 0; i < n0; ++i) {
-    double* op = out + i * row_len;
-    const double* cp = in + mir[i + r] * row_len;
-    for (int64_t k = 0; k < row_len; ++k) op[k] = cp[k] * wc;
-    for (int64_t j = r; j >= 1; --j) {
-      const double* ap = in + mir[i + r - j] * row_len;
-      const double* bp = in + mir[i + r + j] * row_len;
-      const double wj = w[r + j];
-      for (int64_t k = 0; k < row_len; ++k) op[k] += (ap[k] + bp[k]) * wj;
-    }
+  for (int64_t k = 0; k < row_len; ++k) dst[k] = cp[k] * wc;
+  for (int64_t jj = r; jj >= 1; --jj) {
+    const double* ap = in + mirror_index(j - jj, n0) * row_len;
+    const double* bp = in + mirror_index(j + jj, n0) * row_len;
+    const double wj = w[r + jj];
+    for (int64_t k = 0; k < row_len; ++k) dst[k] += (ap[k] + bp[k]) * wj;
   }
 }
 
-// Filter axis 1 of an (n0, n1, C) array: per-row, all C channels of each
-// output column computed together (taps step by C within the row).
-void correlate_cols(const double* in, double* out, int64_t n0, int64_t n1,
-                    int64_t C, const double* w, int64_t r) {
-  std::vector<int64_t> mir(n1 + 2 * r);
-  for (int64_t i = 0; i < (int64_t)mir.size(); ++i)
-    mir[i] = mirror_index(i - r, n1);
+// Axis-1 filter of one (n1, C) row: all C channels of each output column
+// computed together (taps step by C within the row).  mir holds the
+// precomputed mirrored column indices for offsets -r..n1-1+r.
+// Interior columns (where no tap crosses an edge) run as flat shifted
+// whole-row passes — identical per-element op order, vectorizable.
+void filter_row_axis1(const double* src, double* dst, int64_t n1, int64_t C,
+                      const double* w, int64_t r, const int64_t* mir) {
   const double wc = w[r];
-  for (int64_t i = 0; i < n0; ++i) {
-    const double* ip = in + i * n1 * C;
-    double* op = out + i * n1 * C;
-    for (int64_t k = 0; k < n1; ++k) {
-      const double* cp = ip + mir[k + r] * C;
-      for (int64_t ch = 0; ch < C; ++ch) {
-        double s = cp[ch] * wc;
-        for (int64_t j = r; j >= 1; --j)
-          s += (ip[mir[k + r - j] * C + ch] + ip[mir[k + r + j] * C + ch]) *
-               w[r + j];
-        op[k * C + ch] = s;
+  const int64_t lo = r < n1 - r ? r : n1;        // first interior column
+  const int64_t hi = n1 - r > lo ? n1 - r : lo;  // one past last interior
+  for (int64_t k = 0; k < n1; ++k) {
+    if (k == lo && hi > lo) {
+      // interior block [lo, hi): contiguous taps, no mirror lookups
+      const int64_t i0 = lo * C, i1 = hi * C;
+      for (int64_t i = i0; i < i1; ++i) dst[i] = src[i] * wc;
+      for (int64_t jj = r; jj >= 1; --jj) {
+        const double wj = w[r + jj];
+        const double* ap = src - jj * C;
+        const double* bp = src + jj * C;
+        for (int64_t i = i0; i < i1; ++i)
+          dst[i] += (ap[i] + bp[i]) * wj;
       }
+      k = hi - 1;
+      continue;
+    }
+    const double* cp = src + mir[k + r] * C;
+    for (int64_t ch = 0; ch < C; ++ch) {
+      double s = cp[ch] * wc;
+      for (int64_t jj = r; jj >= 1; --jj)
+        s += (src[mir[k + r - jj] * C + ch] + src[mir[k + r + jj] * C + ch]) *
+             w[r + jj];
+      dst[k * C + ch] = s;
     }
   }
 }
@@ -122,38 +135,25 @@ int icek_resize_chw_f16(const uint8_t* img, int64_t H, int64_t W, int64_t C,
                         int64_t rx, int64_t outH, int64_t outW, double lo,
                         double hi, uint16_t* out) {
   if (H < 1 || W < 1 || C < 1 || outH < 1 || outW < 1) return 1;
-  const int64_t n = H * W * C;
-  std::vector<double> a(n), b;
-  for (int64_t i = 0; i < n; ++i) a[i] = (double)img[i] / 255.0;
+  const int64_t row_len = W * C;
+  const int64_t n = H * row_len;
 
-  // Gaussian prefilter, one full-array pass per filtered axis (axis 0 then
-  // axis 1 — gaussian_filter's sequential-axis semantics).  The channel
-  // axis is never filtered (sigma 0), so each (H, W) plane is independent;
-  // strides below treat the array as (H, W*C) for axis 0 and per-channel
-  // strided lines for axis 1.
-  const double* cur = a.data();
-  if (ry >= 0) {
-    b.resize(n);
-    correlate_rows(a.data(), b.data(), H, W * C, wy, ry);
-    cur = b.data();
-  }
-  std::vector<double> c;
-  if (rx >= 0) {
-    c.resize(n);
-    correlate_cols(cur, c.data(), H, W, C, wx, rx);
-    cur = c.data();
-  }
+  // uint8 -> float64 via a value table (identical doubles to elementwise
+  // division, since v/255.0 depends only on v).
+  double lut[256];
+  for (int i = 0; i < 256; ++i) lut[i] = (double)i / 255.0;
+  std::unique_ptr<double[]> a(new double[n]);
+  for (int64_t i = 0; i < n; ++i) a[i] = lut[img[i]];
 
   // zoom order=1, grid_mode, mirror — precompute per-axis sample indices
-  // and weights.
+  // and weights first, so the prefilter below can skip unsampled rows.
   std::vector<int64_t> y0(outH), y1(outH), x0(outW), x1(outW);
   std::vector<double> wy0(outH), wy1(outH), wx0(outW), wx1(outW);
   const double zy = (double)H / (double)outH;
   const double zx = (double)W / (double)outW;
   for (int64_t oy = 0; oy < outH; ++oy) {
     double cc = mirror_coord(zy * ((double)oy + 0.5) - 0.5, H);
-    int64_t base = (int64_t)cc;  // cc >= 0 after mirror
-    if ((double)base > cc) --base;
+    int64_t base = (int64_t)cc;  // cc >= 0 after mirror, so trunc == floor
     double t = cc - (double)base;
     y0[oy] = base;
     y1[oy] = base + 1 < H ? base + 1 : H - 1;
@@ -163,7 +163,6 @@ int icek_resize_chw_f16(const uint8_t* img, int64_t H, int64_t W, int64_t C,
   for (int64_t ox = 0; ox < outW; ++ox) {
     double cc = mirror_coord(zx * ((double)ox + 0.5) - 0.5, W);
     int64_t base = (int64_t)cc;
-    if ((double)base > cc) --base;
     double t = cc - (double)base;
     x0[ox] = base;
     x1[ox] = base + 1 < W ? base + 1 : W - 1;
@@ -171,9 +170,42 @@ int icek_resize_chw_f16(const uint8_t* img, int64_t H, int64_t W, int64_t C,
     wx0[ox] = 1.0 - t;
   }
 
+  // Gaussian prefilter, lazily per sampled row.  Per-element semantics are
+  // gaussian_filter's sequential axis-0-then-axis-1 passes; rows the zoom
+  // never reads are simply not computed.
+  const double* filtered = a.get();  // final row source for the zoom stage
+  std::unique_ptr<double[]> f;       // per-row filtered storage
+  std::unique_ptr<double[]> brow;    // axis-0 scratch row
+  if (ry >= 0 || rx >= 0) {
+    std::vector<char> needed(H, 0);
+    for (int64_t oy = 0; oy < outH; ++oy) needed[y0[oy]] = needed[y1[oy]] = 1;
+    f.reset(new double[n]);
+    std::vector<int64_t> mirx;
+    if (rx >= 0) {
+      mirx.resize(W + 2 * rx);
+      for (int64_t i = 0; i < (int64_t)mirx.size(); ++i)
+        mirx[i] = mirror_index(i - rx, W);
+    }
+    if (ry >= 0) brow.reset(new double[row_len]);
+    for (int64_t j = 0; j < H; ++j) {
+      if (!needed[j]) continue;
+      double* frow = f.get() + j * row_len;
+      if (ry >= 0 && rx >= 0) {
+        filter_row_axis0(a.get(), brow.get(), H, row_len, j, wy, ry);
+        filter_row_axis1(brow.get(), frow, W, C, wx, rx, mirx.data());
+      } else if (ry >= 0) {
+        filter_row_axis0(a.get(), frow, H, row_len, j, wy, ry);
+      } else {
+        filter_row_axis1(a.get() + j * row_len, frow, W, C, wx, rx,
+                         mirx.data());
+      }
+    }
+    filtered = f.get();
+  }
+
   for (int64_t oy = 0; oy < outH; ++oy) {
-    const double* r0 = cur + y0[oy] * W * C;
-    const double* r1 = cur + y1[oy] * W * C;
+    const double* r0 = filtered + y0[oy] * row_len;
+    const double* r1 = filtered + y1[oy] * row_len;
     const double w0 = wy0[oy], w1 = wy1[oy];
     for (int64_t ox = 0; ox < outW; ++ox) {
       const int64_t c0 = x0[ox] * C, c1 = x1[ox] * C;
