@@ -118,6 +118,10 @@ def run_train(preset: str, argv=None):
                         "command after a preemption continues exactly "
                         "where it stopped")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--reset-stale", action="store_true",
+                   help="on resume, zero the epochs-since-improvement "
+                        "counter (the reference's zero_out_epochs_since_"
+                        "improvement knob, geo-aware/train.py:54)")
     p.add_argument("--glove", default=None,
                    help="path to GloVe-format embeddings for word init")
     p.add_argument("--streaming", action="store_true",
@@ -152,6 +156,7 @@ def run_train(preset: str, argv=None):
         pretrained_embeddings=pretrained,
         resume_from=resume,
         max_epochs=args.epochs,
+        reset_epochs_since_improvement=args.reset_stale,
         mesh=mesh,
     )
 

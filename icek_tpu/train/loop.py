@@ -211,6 +211,7 @@ def train(
     pretrained_embeddings: Optional[np.ndarray] = None,
     resume_from: Optional[str] = None,
     max_epochs: Optional[int] = None,
+    reset_epochs_since_improvement: bool = False,
     log: Callable[[str], None] = print,
     mesh=None,
 ) -> TrainResult:
@@ -281,10 +282,17 @@ def train(
         else:
             start_epoch = meta["epoch"] + 1
         stale = meta["epochs_since_improvement"]
+        if reset_epochs_since_improvement:
+            # the reference's zero_out_epochs_since_improvement knob
+            # (geo-aware/train.py:54,108-123): restart the early-stop /
+            # LR-decay counter on resume without touching best_loss
+            stale = 0
         best_loss = meta["loss"]
         log(
             f"Resumed from {resume_from} at epoch {start_epoch}"
             + (f" batch {resume_step}" if resume_step else "")
+            + (" (stale counter reset)" if reset_epochs_since_improvement
+               else "")
         )
 
     # Cache frozen-encoder image tokens once per split.

@@ -120,6 +120,18 @@ def test_end_to_end_training(tmp_path):
     )
     assert np.isfinite(resumed.best_loss)
 
+    # --reset-stale: resume restarts the early-stop counter (the
+    # reference's zero_out_epochs_since_improvement, geo-aware/train.py:54)
+    logs = []
+    latest = ckpt.latest_checkpoint(str(ckpt_dir), "tiny_geo")
+    reset = train_loop.train(
+        cfg, str(out_dir), len(wm), wm.pad_id,
+        checkpoint_dir=str(ckpt_dir), resume_from=latest, max_epochs=4,
+        reset_epochs_since_improvement=True, log=logs.append,
+    )
+    assert np.isfinite(reset.best_loss)
+    assert any("stale counter reset" in s for s in logs), logs[:3]
+
 
 def test_overfit_single_batch(tmp_path):
     """Loss decreases markedly when overfitting one batch — the training
