@@ -150,10 +150,11 @@ def multi_head_attention(
     the on-device autoregressive decode path.
     With `precomputed_kv` (dict with "k"/"v" of shape (B, Tk, H, Hd)) the
     projections of a static memory are reused (cross-attention decode path).
-    With `flash` (training path only: no caches), the attention core runs as
-    the fused Pallas kernel (kernels/flash_attention.py) with in-kernel PRNG
-    attention-weight dropout; `causal` then replaces `attn_mask` (the only
-    mask shape the training passes use).
+    With `flash` (full-sequence passes only: no caches), the attention core
+    runs as the fused Pallas kernel (kernels/flash_attention.py) — with
+    in-kernel PRNG attention-weight dropout when training, score tensors
+    never materialized either way; `causal` then replaces `attn_mask` (the
+    only mask shape these passes use).
     Returns (output, updated_cache_or_None).
     """
     B, Tq, D = q_in.shape

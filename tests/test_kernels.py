@@ -181,6 +181,26 @@ def test_flash_captioner_forward_matches_stock(rng, variant):
     )
 
 
+def test_resolve_flash_rules():
+    """Config flag forces either way; auto (None) keys on the backend only —
+    flash serves both training and the deterministic context-encode/
+    validation passes (the decode loop bypasses it via its KV-cache paths)."""
+    import dataclasses
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.models import captioner as cap
+
+    cfg = config_lib.georic().model
+    for det in (True, False):
+        assert cap.resolve_flash(
+            dataclasses.replace(cfg, use_flash_attention=True), det)
+        assert not cap.resolve_flash(
+            dataclasses.replace(cfg, use_flash_attention=False), det)
+        auto = cap.resolve_flash(
+            dataclasses.replace(cfg, use_flash_attention=None), det)
+        assert auto == (jax.default_backend() == "tpu")
+
+
 # ---------------------------------------------------------------------------
 # Fused decoder-step megakernel (kernels/decoder_step.py)
 # ---------------------------------------------------------------------------
