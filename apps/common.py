@@ -99,7 +99,9 @@ def resolve_parallel(args):
     from icek_tpu.parallel import mesh as mesh_lib
 
     if args.distributed:
-        info = distributed.maybe_initialize()
+        # force: --distributed with no topology configured must error, not
+        # silently run N independent unsharded replicas
+        info = distributed.maybe_initialize(force=True)
         print(f"distributed: process {info.index}/{info.count}")
     if args.mesh and args.mesh != "auto":
         data_ax, model_ax = (int(x) for x in args.mesh.split(","))

@@ -184,6 +184,13 @@ class Evaluator:
         With a mesh the batch holds this process's LOCAL rows; they are
         assembled into data-sharded global arrays first (every process
         must call this in lockstep — the decode is a collective program)."""
+        return np.asarray(self.decode_batch_async(batch))
+
+    def decode_batch_async(self, batch: Dict[str, np.ndarray]):
+        """:meth:`decode_batch` without the host sync: returns the decoded
+        ids as a device array right after dispatch.  The serving engine
+        uses this so its batcher thread can coalesce the next batch while
+        the device executes this one; ``np.asarray`` the result to wait."""
         num_ent_rows = batch["entity_features"].shape[1]
         if self.mesh is not None:
             batch = self._mesh_lib.global_batch(batch, self.mesh)
@@ -204,9 +211,7 @@ class Evaluator:
             else None
         )
         run = self._pipeline(mode, num_ent_rows)
-        return np.asarray(
-            run(inputs, jnp.asarray(batch["entity_features"]), facts)
-        )
+        return run(inputs, jnp.asarray(batch["entity_features"]), facts)
 
     def run(
         self,

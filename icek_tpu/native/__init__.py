@@ -1,10 +1,10 @@
 """Native (C++) helpers for the host-side data pipeline.
 
-Builds ``fuzzy_match.cpp`` into a shared library on first use (g++ -O3) and
-exposes it through ctypes.  Everything degrades gracefully to the pure-
-Python implementations in ``icek_tpu.data.context`` when no compiler is
-available — the native path is a throughput optimization, not a semantic
-dependency (parity enforced by tests/test_native.py).
+Builds ``fuzzy_match.cpp`` / ``resize.cpp`` into shared libraries on first
+use (g++ -O3) and exposes them through ctypes.  Everything degrades
+gracefully to the pure-Python implementations when no compiler is
+available — the native paths are throughput optimizations, not semantic
+dependencies (parity enforced by tests/test_native.py).
 """
 
 from __future__ import annotations
@@ -13,19 +13,12 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "fuzzy_match.cpp")
-_LIB = os.path.join(_HERE, "_fuzzy_match.so")
-_RESIZE_SRC = os.path.join(_HERE, "resize.cpp")
-_RESIZE_LIB = os.path.join(_HERE, "_resize.so")
-
-_lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_build_failed = False
+_D = ctypes.POINTER(ctypes.c_double)
 
 
 def _compile(src: str, lib: str, extra: Sequence[str] = ()) -> Optional[str]:
@@ -47,10 +40,6 @@ def _compile(src: str, lib: str, extra: Sequence[str] = ()) -> Optional[str]:
         return None
 
 
-def _build() -> Optional[str]:
-    return _compile(_SRC, _LIB)
-
-
 def _fresh(lib: str, src: str) -> bool:
     """lib exists and is newer than its source."""
     try:
@@ -59,43 +48,112 @@ def _fresh(lib: str, src: str) -> bool:
         return False
 
 
+class _Loader:
+    """Memoized build-or-load singleton for one shared library.
+
+    ``flag_sets`` are tried in order (e.g. with and without -march=native);
+    ``bind`` declares the ctypes signatures once the library is open.
+    """
+
+    def __init__(self, src: str, lib: str, flag_sets: Sequence[Sequence[str]],
+                 bind: Callable[[ctypes.CDLL], None]):
+        self._src = os.path.join(_HERE, src)
+        self._lib_path = os.path.join(_HERE, lib)
+        self._flag_sets = flag_sets
+        self._bind = bind
+        self._lock = threading.Lock()
+        self._lib: Optional[ctypes.CDLL] = None
+        self._failed = False
+
+    def load(self) -> Optional[ctypes.CDLL]:
+        if self._lib is not None or self._failed:
+            return self._lib
+        with self._lock:
+            if self._lib is not None or self._failed:
+                return self._lib
+            path = self._lib_path if _fresh(self._lib_path, self._src) else None
+            for flags in self._flag_sets if path is None else ():
+                path = _compile(self._src, self._lib_path, flags)
+                if path is not None:
+                    break
+            if path is None:
+                self._failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(path)
+                self._bind(lib)
+            except OSError:
+                self._failed = True
+                return None
+            self._lib = lib
+            return self._lib
+
+
+def _bind_fuzzy(lib: ctypes.CDLL) -> None:
+    lib.icek_fuzzy_lookup.restype = ctypes.c_int64
+    lib.icek_fuzzy_lookup.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.icek_fuzzy_lookup_batch.restype = None
+    lib.icek_fuzzy_lookup_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
+
+def _bind_resize(lib: ctypes.CDLL) -> None:
+    lib.icek_resize_chw_f16.restype = ctypes.c_int
+    lib.icek_resize_chw_f16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _D, ctypes.c_int64,
+        _D, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
+
+
+_fuzzy_loader = _Loader("fuzzy_match.cpp", "_fuzzy_match.so",
+                        [()], _bind_fuzzy)
+# -ffp-contract=off: FMA contraction would change the float64 bits vs
+# scipy.  -march=native only vectorizes ACROSS output elements (each lane
+# keeps the scalar op order), so it is bit-safe — and tests/test_native.py
+# would catch any drift.  Falls back to plain -ffp-contract=off where
+# -march=native is unsupported.
+_resize_loader = _Loader(
+    "resize.cpp", "_resize.so",
+    [["-ffp-contract=off", "-march=native"], ["-ffp-contract=off"]],
+    _bind_resize,
+)
+
+
 def load() -> Optional[ctypes.CDLL]:
-    """The shared library, building it if needed; None if unavailable."""
-    global _lib, _build_failed
-    if _lib is not None or _build_failed:
-        return _lib
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        path = _LIB if _fresh(_LIB, _SRC) else _build()
-        if path is None:
-            _build_failed = True
-            return None
-        try:
-            lib = ctypes.CDLL(path)
-        except OSError:
-            _build_failed = True
-            return None
-        lib.icek_fuzzy_lookup.restype = ctypes.c_int64
-        lib.icek_fuzzy_lookup.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.c_int32,
-        ]
-        lib.icek_fuzzy_lookup_batch.restype = None
-        lib.icek_fuzzy_lookup_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        _lib = lib
-        return _lib
+    """The fuzzy-match shared library, building it if needed; None if
+    unavailable."""
+    return _fuzzy_loader.load()
+
+
+def load_resize() -> Optional[ctypes.CDLL]:
+    """The resize shared library, building it if needed; None if unavailable."""
+    return _resize_loader.load()
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def resize_available() -> bool:
+    return load_resize() is not None
 
 
 def fuzzy_lookup(
@@ -106,7 +164,11 @@ def fuzzy_lookup(
 ) -> int:
     """Longest fuzzy match row or -1 (native path)."""
     lib = load()
-    assert lib is not None
+    if lib is None:
+        raise RuntimeError(
+            "native fuzzy-match library unavailable (no g++?); check "
+            "available() and use the pure-Python path instead"
+        )
     q = np.ascontiguousarray(query, dtype=np.int32)
     k = np.ascontiguousarray(keys, dtype=np.int32)
     a_ptr = None
@@ -124,68 +186,11 @@ def fuzzy_lookup(
     )
 
 
-def available() -> bool:
-    return load() is not None
-
-
 # ---------------------------------------------------------------------------
 # Native skimage-parity resize (resize.cpp) — the prep pipeline's hot host
 # stage.  Bit-identical float16 output vs the scipy path in data/images.py
 # (tests/test_native.py); kernels precomputed by the caller with numpy so
 # numpy's pairwise-sum normalization is reproduced by construction.
-
-_resize_lock = threading.Lock()
-_resize_lib: Optional[ctypes.CDLL] = None
-_resize_failed = False
-
-_D = ctypes.POINTER(ctypes.c_double)
-
-
-def load_resize() -> Optional[ctypes.CDLL]:
-    """The resize shared library, building it if needed; None if unavailable."""
-    global _resize_lib, _resize_failed
-    if _resize_lib is not None or _resize_failed:
-        return _resize_lib
-    with _resize_lock:
-        if _resize_lib is not None or _resize_failed:
-            return _resize_lib
-        path = (
-            _RESIZE_LIB
-            if _fresh(_RESIZE_LIB, _RESIZE_SRC)
-            # -ffp-contract=off: FMA contraction would change the float64
-            # bits vs scipy.  -march=native only vectorizes ACROSS output
-            # elements (each lane keeps the scalar op order), so it is
-            # bit-safe — and tests/test_native.py would catch any drift.
-            else _compile(
-                _RESIZE_SRC, _RESIZE_LIB,
-                ["-ffp-contract=off", "-march=native"],
-            )
-            or _compile(_RESIZE_SRC, _RESIZE_LIB, ["-ffp-contract=off"])
-        )
-        if path is None:
-            _resize_failed = True
-            return None
-        try:
-            lib = ctypes.CDLL(path)
-        except OSError:
-            _resize_failed = True
-            return None
-        lib.icek_resize_chw_f16.restype = ctypes.c_int
-        lib.icek_resize_chw_f16.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            _D, ctypes.c_int64,
-            _D, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_double, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_uint16),
-        ]
-        _resize_lib = lib
-        return _resize_lib
-
-
-def resize_available() -> bool:
-    return load_resize() is not None
 
 
 def _gaussian_kernel(sigma: float) -> np.ndarray:
@@ -207,8 +212,18 @@ def resize_chw_f16(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     available (resize_available()).
     """
     lib = load_resize()
-    assert lib is not None
-    assert img.dtype == np.uint8 and img.ndim == 3, (img.dtype, img.shape)
+    if lib is None:
+        raise RuntimeError(
+            "native resize library unavailable (no g++?); check "
+            "resize_available() and use images.resize_like_reference instead"
+        )
+    if img.dtype != np.uint8 or img.ndim != 3:
+        # a real check, not an assert: the C side reads the buffer as raw
+        # uint8 bytes — a float input would silently produce garbage f16s
+        raise TypeError(
+            f"resize_chw_f16 wants (H, W, C) uint8; got {img.dtype} "
+            f"{img.shape}"
+        )
     img = np.ascontiguousarray(img)
     h, w, ch = img.shape
     # anti_aliasing iff any axis downscales; then sigma per axis, and axes
@@ -237,5 +252,6 @@ def resize_chw_f16(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         h, w, ch, kyp, ry, kxp, rx, out_h, out_w, lo, hi,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
     )
-    assert rc == 0, rc
+    if rc != 0:
+        raise RuntimeError(f"icek_resize_chw_f16 failed with code {rc}")
     return out

@@ -46,10 +46,17 @@ def maybe_initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    force: bool = False,
 ) -> ProcessInfo:
     """Initialize the jax distributed system when a multi-process topology
     is configured; no-op otherwise.  Idempotent.  Returns the live process
-    topology either way (so callers can shard loaders unconditionally)."""
+    topology either way (so callers can shard loaders unconditionally).
+
+    ``force=True`` (the apps' ``--distributed`` flag) initializes even with
+    no explicit topology, letting jax's own cluster auto-detection (Cloud
+    TPU pods, Slurm, Open MPI) fill it in — and raises if detection finds
+    nothing, because a user who asked for distributed must never silently
+    get N independent single-process replicas clobbering each other."""
     global _INITIALIZED
     coordinator_address = coordinator_address or os.environ.get("ICEK_COORDINATOR")
     env_np = os.environ.get("ICEK_NUM_PROCESSES")
@@ -59,7 +66,7 @@ def maybe_initialize(
     if process_id is None and env_pid is not None:
         process_id = int(env_pid)
 
-    want_multiprocess = coordinator_address is not None or (
+    want_multiprocess = force or coordinator_address is not None or (
         num_processes is not None and num_processes > 1
     )
     if want_multiprocess and not _INITIALIZED:
@@ -75,12 +82,26 @@ def maybe_initialize(
                 jax.config.update("jax_cpu_collectives_implementation", "gloo")
             except Exception:  # older jaxlib without gloo: single-host only
                 pass
-        # must run before any other jax API call creates the backend
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        explicit = coordinator_address is not None or num_processes is not None
+        try:
+            # must run before any other jax API call creates the backend
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except Exception as exc:
+            if explicit:
+                raise
+            # force=True with nothing to auto-detect: fail loudly instead
+            # of quietly degrading to an unsharded single-process run
+            raise RuntimeError(
+                "--distributed was requested but no multi-process topology "
+                "was found: set ICEK_COORDINATOR/ICEK_NUM_PROCESSES/"
+                "ICEK_PROCESS_ID (or run under a launcher jax can "
+                "auto-detect: Cloud TPU pod, Slurm, Open MPI). "
+                f"jax.distributed.initialize() said: {exc}"
+            ) from exc
         _INITIALIZED = True
     return process_info()
 

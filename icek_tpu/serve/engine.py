@@ -6,9 +6,12 @@ online path at all.  The TPU rebuild targets production serving, where the
 device wants large static batches but clients arrive one request at a
 time; this engine bridges the two:
 
-  * one background batcher thread owns the device; client threads submit
-    single samples (:meth:`ServingEngine.submit`) and block on a
-    ``concurrent.futures.Future``;
+  * one background batcher thread owns batch assembly and device dispatch;
+    client threads submit single samples (:meth:`ServingEngine.submit`)
+    and block on a ``concurrent.futures.Future``; host-side postprocessing
+    (device sync, detokenize, future resolution) runs on a small pool so
+    the batcher coalesces the next batch while the device executes the
+    current one;
   * requests coalesce until the largest bucket fills or the OLDEST queued
     request has waited ``max_wait_ms`` — the latency/throughput knob;
   * batches pad up to a fixed ladder of bucket sizes (powers of two by
@@ -32,9 +35,9 @@ import bisect
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -132,10 +135,37 @@ class ServingEngine:
         self._stats = ServeStats()
         self._stats_lock = threading.Lock()
         self._closed = False
+        # serializes submit-vs-close so no request can be enqueued after
+        # the shutdown sentinel (a submit that passed the closed check and
+        # then lost the race would otherwise hang on its future forever)
+        self._submit_lock = threading.Lock()
+        self._expected_shapes = self._build_expected_shapes(cfg)
+        # post-device work (host sync + detokenize + future resolution)
+        # runs here so the batcher thread goes straight back to coalescing
+        # the next batch while the device executes the current one
+        self._post = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="icek-serve-post"
+        )
         self._thread = threading.Thread(
             target=self._serve_loop, name="icek-serve-batcher", daemon=True
         )
         self._thread.start()
+
+    @staticmethod
+    def _build_expected_shapes(cfg: Config) -> Dict[str, Tuple[int, ...]]:
+        d, m = cfg.data, cfg.model
+        ent_cols = 10 if m.variant == "news" else 5
+        shapes = {
+            "raw_images": (3, d.img_size, d.img_size),
+            "images": (d.img_size, d.img_size, 3),
+            "image_tokens": (m.encoded_image_size ** 2, m.emb_dim),
+            "entity_features": (d.entity_context_size + 1, ent_cols),
+            "entity_names": (d.entity_context_size + 1, 52),
+        }
+        if m.has_facts:
+            shapes["fact_features"] = (d.fact_context_size + 1, 3)
+            shapes["fact_names"] = (d.fact_context_size + 1, 52)
+        return shapes
 
     # ------------------------------------------------------------- client API
 
@@ -150,8 +180,6 @@ class ServingEngine:
         ``entity_features`` and ``entity_names``; fact presets also
         require ``fact_features`` and ``fact_names``.
         """
-        if self._closed:
-            raise RuntimeError("ServingEngine is closed")
         sample = {_ALIASES.get(k, k): np.asarray(v) for k, v in sample.items()}
         mode = [k for k in _MODE_KEYS if k in sample]
         if len(mode) != 1:
@@ -168,8 +196,26 @@ class ServingEngine:
                     raise ValueError(
                         f"'{self.cfg.model.variant}' preset requires '{key}'"
                     )
+        # shape-check every array that gets stacked into a device batch:
+        # one malformed request must fail HERE, in its own thread, not
+        # inside the batcher where np.stack would poison every batchmate
+        for key in (mode[0], "entity_features", "entity_names",
+                    "fact_features", "fact_names"):
+            want = self._expected_shapes.get(key)
+            if want is None or key not in sample:
+                continue
+            got = tuple(sample[key].shape)
+            if got != want:
+                raise ValueError(
+                    f"'{key}' must have shape {want} for the "
+                    f"'{self.cfg.model.variant}' preset (no batch axis); "
+                    f"got {got}"
+                )
         pending = _Pending(sample, mode[0])
-        self._queue.put(pending)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("ServingEngine is closed")
+            self._queue.put(pending)
         return pending.future
 
     def caption(self, sample: Dict[str, np.ndarray], timeout=None) -> Dict:
@@ -200,11 +246,16 @@ class ServingEngine:
 
     def close(self) -> None:
         """Drain the queue, stop the batcher thread, reject new submits."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(_SHUTDOWN)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            # under the lock no submit can enqueue after the sentinel, so
+            # the batcher sees every real request before it
+            self._queue.put(_SHUTDOWN)
         self._thread.join()
+        self._post.shutdown(wait=True)
+        self._fail_leftovers()  # defensive: the lock makes this a no-op
 
     def __enter__(self):
         return self
@@ -214,10 +265,24 @@ class ServingEngine:
 
     # ---------------------------------------------------------- batcher side
 
+    def _fail_leftovers(self) -> None:
+        """Resolve (with an error) any requests still queued at shutdown —
+        never leave a future unresolved."""
+        while True:
+            try:
+                leftover = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if not isinstance(leftover, _Shutdown):
+                leftover.future.set_exception(
+                    RuntimeError("ServingEngine closed")
+                )
+
     def _serve_loop(self):
         while True:
             first = self._queue.get()
             if isinstance(first, _Shutdown):
+                self._fail_leftovers()
                 return
             pending = [first]
             stop = False
@@ -256,25 +321,27 @@ class ServingEngine:
             for mode, group in by_mode.items():
                 self._run_batch(mode, group)
             if stop:
-                # fail any request that raced past the closed check after
-                # the shutdown sentinel — never leave a future unresolved
-                while True:
-                    try:
-                        leftover = self._queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    if not isinstance(leftover, _Shutdown):
-                        leftover.future.set_exception(
-                            RuntimeError("ServingEngine closed")
-                        )
+                self._fail_leftovers()
                 return
 
     def _run_batch(self, mode: str, group: List[_Pending]):
+        """Assemble + dispatch on the batcher thread; everything after the
+        device call (host sync, detokenize, future resolution) happens on
+        the postprocess pool so the batcher immediately coalesces the next
+        batch while the device runs this one."""
         n = len(group)
         bucket = self.buckets[bisect.bisect_left(self.buckets, min(n, self.max_batch))]
         try:
             batch = self._assemble(mode, group, bucket)
-            ids = self._evaluator.decode_batch(batch)
+            ids = self._evaluator.decode_batch_async(batch)
+            self._post.submit(self._finish_batch, group, ids, bucket)
+        except Exception as exc:  # propagate to every caller in the batch
+            self._fail_group(group, exc)
+
+    def _finish_batch(self, group: List[_Pending], ids, bucket: int):
+        n = len(group)
+        try:
+            ids = np.asarray(ids)  # blocks until the device batch finishes
             for i, p in enumerate(group):
                 tokens, kinds = detok.detokenize(
                     ids[i], self.wordmap,
@@ -282,15 +349,12 @@ class ServingEngine:
                     p.sample.get("fact_names"),
                 )
                 text = detok.trim_trailing_sentence(" ".join(tokens))
-                p.future.set_result(
-                    {"caption": text, "tokens": tokens, "mask": kinds}
-                )
-        except Exception as exc:  # propagate to every caller in the batch
-            with self._stats_lock:
-                self._stats.errors += n
-            for p in group:
-                if not p.future.done():
-                    p.future.set_exception(exc)
+                if not p.future.done():  # the client may have cancelled
+                    p.future.set_result(
+                        {"caption": text, "tokens": tokens, "mask": kinds}
+                    )
+        except Exception as exc:
+            self._fail_group(group, exc)
             return
         with self._stats_lock:
             self._stats.requests += n
@@ -299,6 +363,13 @@ class ServingEngine:
             self._stats.bucket_runs[bucket] = (
                 self._stats.bucket_runs.get(bucket, 0) + 1
             )
+
+    def _fail_group(self, group: List[_Pending], exc: Exception) -> None:
+        with self._stats_lock:
+            self._stats.errors += len(group)
+        for p in group:
+            if not p.future.done():
+                p.future.set_exception(exc)
 
     def _assemble(self, mode: str, group: List[_Pending],
                   bucket: int) -> Dict[str, np.ndarray]:

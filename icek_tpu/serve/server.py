@@ -66,9 +66,22 @@ def _request_handler(engine: ServingEngine, timeout: Optional[float]):
                     io.BytesIO(self.rfile.read(length)), allow_pickle=False
                 ) as arrays:
                     sample = {k: arrays[k] for k in arrays.files}
-                result = engine.caption(sample, timeout=timeout)
-            except Exception as exc:  # surface as a client-visible error
+            except Exception as exc:  # unparseable body = caller fault
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            try:
+                result = engine.caption(sample, timeout=timeout)
+            except ValueError as exc:
+                # submit()-side validation (bad shapes / missing keys)
+                self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            except TimeoutError as exc:
+                # server saturated — retryable, not the caller's fault
+                self._reply(504, {"error": f"request timed out: {exc}"})
+                return
+            except Exception as exc:
+                # engine closed / device failure — server-side, retryable
+                self._reply(503, {"error": f"{type(exc).__name__}: {exc}"})
                 return
             self._reply(200, result)
 

@@ -262,3 +262,27 @@ def test_device_token_cache_sharded_matches_host_path(mesh_shape):
     np.testing.assert_array_equal(float(loss1), float(loss2))
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_force_initialize_without_topology_errors_loudly():
+    """--distributed with no configured/auto-detectable topology must fail
+    with guidance, not silently run an unsharded single-process replica
+    (N such replicas would clobber each other's checkpoints)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("ICEK_")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "from icek_tpu.parallel import distributed\n"
+        "distributed.maybe_initialize(force=True)\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode != 0
+    assert "--distributed was requested" in r.stderr

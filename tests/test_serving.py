@@ -140,6 +140,66 @@ def test_submit_validates_sample(serving_setup):
         engine.submit(_sample(data, 0))
 
 
+def test_submit_rejects_malformed_shapes_in_the_callers_thread(serving_setup):
+    """A wrong-shaped array must fail its own submit() with a clear
+    message — never reach the batcher where np.stack would poison every
+    batchmate — and valid requests keep succeeding afterwards."""
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    with ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=3,
+        max_batch=4, max_wait_ms=50.0,
+    ) as engine:
+        good = _sample(data, 0)
+        bad = dict(good)
+        ok_shape = good["entity_features"].shape
+        bad["entity_features"] = np.zeros(
+            (ok_shape[0] + 1, ok_shape[1]), np.float32
+        )
+        with pytest.raises(ValueError, match="entity_features"):
+            engine.submit(bad)
+        out = engine.caption(good, timeout=300)
+        stats = engine.stats()
+    assert isinstance(out["caption"], str)
+    assert stats.errors == 0
+
+
+def test_cancelled_future_does_not_poison_batchmates(serving_setup):
+    """A client cancelling its Future (timeout handling) while queued must
+    not error the rest of its batch — the success path skips done futures."""
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    with ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=3,
+        max_batch=4, max_wait_ms=500.0,
+    ) as engine:
+        engine.warmup(_sample(data, 0), buckets=[2, 4])
+        f1 = engine.submit(_sample(data, 0))
+        f2 = engine.submit(_sample(data, 1))
+        f1.cancel()  # False if the batch already resolved it — fine either way
+        out = f2.result(timeout=300)
+        stats = engine.stats()
+    assert isinstance(out["caption"], str)
+    assert stats.errors == 0
+
+
+def test_close_resolves_every_inflight_future(serving_setup):
+    """close() must leave no future unresolved: everything submitted before
+    close either resolves with a caption or fails with 'closed'."""
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    engine = ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=3,
+        max_batch=2, max_wait_ms=1.0,
+    )
+    engine.warmup(_sample(data, 0), buckets=[1, 2])
+    futures = [engine.submit(_sample(data, i % len(data))) for i in range(5)]
+    engine.close()
+    for f in futures:
+        assert f.done()
+        if f.exception() is not None:
+            assert "closed" in str(f.exception())
+        else:
+            assert isinstance(f.result()["caption"], str)
+
+
 def test_http_server_roundtrip(serving_setup):
     """POST /caption over a real socket returns the oracle caption; the
     health/stats endpoints answer."""
@@ -176,6 +236,16 @@ def test_http_server_roundtrip(serving_setup):
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(bad, timeout=30)
         assert err.value.code == 400
+        # parseable body, wrong shape -> also a 400 (submit validation)
+        bad_sample = _sample(data, 0)
+        bad_sample["entity_features"] = np.zeros((2, 2), np.float32)
+        shape_req = urllib.request.Request(
+            url + "/caption", data=encode_request(bad_sample), method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(shape_req, timeout=30)
+        assert err.value.code == 400
+        assert "entity_features" in json.load(err.value)["error"]
     finally:
         server.shutdown()
         thread.join()

@@ -152,6 +152,10 @@ def check_split(lint, data_dir, base, split, wm, has_facts, img_size):
     check_name_rows(lint, ent_names.reshape(-1, ent_names.shape[-1]),
                     f"{split}: ENT_NAMES")
     if has_facts:
+        if fact_features.ndim != 3 or fact_features.shape[-1] < 3:
+            lint.error(f"{split}: FACT_FEATURES shape "
+                       f"{fact_features.shape}, want (rows, F+1, 3)")
+            return
         if not np.isfinite(fact_features).all():
             lint.error(f"{split}: non-finite fact features")
         check_name_rows(lint, fact_names.reshape(-1, fact_names.shape[-1]),
@@ -217,11 +221,18 @@ def check_split(lint, data_dir, base, split, wm, has_facts, img_size):
                        f"({n}, 3, {img_size}, {img_size})")
         if d.dtype != np.float16:
             lint.error(f"{split}: images dtype {d.dtype}, want float16")
-        probe = np.asarray(d[: min(n, 8)], dtype=np.float32)
+        # strided sample across the WHOLE store (h5py wants sorted unique
+        # indices) — a corrupt row far into the file must not pass just
+        # because it isn't in the first few rows
+        n_probe = min(n, 64)
+        idx = np.unique(np.linspace(0, n - 1, n_probe).astype(np.int64))
+        probe = np.asarray(d[idx], dtype=np.float32)
         if not np.isfinite(probe).all() or probe.min() < 0 or probe.max() > 1:
-            lint.error(f"{split}: image values outside [0, 1]")
+            lint.error(f"{split}: image values outside [0, 1] "
+                       f"(in a {len(idx)}-row strided sample)")
+        coverage = f"{len(idx)}/{n} rows value-probed"
 
-    print(f"ok      {split}: {n} rows, E={E}, F={F}")
+    print(f"ok      {split}: {n} rows, E={E}, F={F} ({coverage})")
 
 
 def main():
