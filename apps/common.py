@@ -184,6 +184,12 @@ def run_eval(preset: str, argv=None):
     p.add_argument("--output", default="generated_captions.csv")
     p.add_argument("--streaming", action="store_true",
                    help="read the TEST split via the streaming loader")
+    p.add_argument("--encoder-int8", type=int, default=0, metavar="N",
+                   help="quantize the frozen ResNet encoder to int8 (PTQ, "
+                        "models/resnet_int8.py), calibrating activation "
+                        "scales on the first N TEST batches; CHANGES "
+                        "ARITHMETIC — captions may differ slightly from "
+                        "the bf16 pipeline (opt-in serving speedup)")
     add_parallel_args(p, "decode")
     args = p.parse_args(argv)
 
@@ -222,9 +228,34 @@ def run_eval(preset: str, argv=None):
         data = ds.CaptionDataset(
             args.data_dir, cfg.data.base_name, "TEST", cfg.model.has_facts
         )
+    encoder_qtree = None
+    if args.encoder_int8:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from icek_tpu.models import resnet, resnet_int8
+
+        dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        bs = eval_driver.resolve_eval_batch_size(args.batch_size, cfg)
+        folded = resnet.fold_bn_params(encoder_params)
+
+        def calib_batches():
+            for b in range(args.encoder_int8):
+                idx = np.arange(b * bs, min((b + 1) * bs, len(data)))
+                if len(idx) == 0:
+                    return
+                yield jnp.asarray(data.batch(idx)["images"])
+
+        print(f"[encoder-int8] calibrating on {args.encoder_int8} batches "
+              f"of {bs} (PTQ — arithmetic differs from bf16)")
+        encoder_qtree = resnet_int8.calibrate_and_quantize(
+            folded, calib_batches(), compute_dtype=dtype
+        )
     evaluator = eval_driver.Evaluator(
         cfg, wm, params, encoder_params,
         batch_size=args.batch_size, beam_size=args.beam, mesh=mesh,
+        encoder_qtree=encoder_qtree,
     )
 
     js_metric = fact_metric = predicate_to_objects = None

@@ -50,6 +50,9 @@ _FUSED = os.environ.get("BENCH_FUSED_SCORES")
 FUSED_SCORES = None if _FUSED is None else _FUSED == "1"
 # int8 KV serving mode A/B: BENCH_KV_DTYPE=int8
 KV_DTYPE = os.environ.get("BENCH_KV_DTYPE") or None
+# int8-quantized encoder A/B (resnet_int8; calibrated on the bench batch):
+# BENCH_ENCODER=int8
+ENCODER = os.environ.get("BENCH_ENCODER") or "bf16"
 
 
 def main():
@@ -81,15 +84,30 @@ def main():
     # (resnet.fold_bn_params) — removes the standalone BN elementwise passes
     # that dominate the encode profile at batch 256.
     folded = resnet.fold_bn_params(encoder_params)
+    qtree = None
+    if ENCODER == "int8":
+        from icek_tpu.models import resnet_int8
+
+        qtree = resnet_int8.calibrate_and_quantize(
+            folded, [images], compute_dtype=compute_dtype
+        )
 
     # encode + context/memory prep + decode in ONE jitted executable:
     # separate jits cost ~30ms of dispatch each through the runtime boundary
     @jax.jit
     def pipeline(imgs):
-        tokens = resnet.resnet_encode_folded(
-            folded, imgs, mcfg.encoded_image_size,
-            compute_dtype=compute_dtype,
-        )
+        if qtree is not None:
+            from icek_tpu.models import resnet_int8
+
+            tokens = resnet_int8.resnet_encode_int8(
+                qtree, imgs, mcfg.encoded_image_size,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            tokens = resnet.resnet_encode_folded(
+                folded, imgs, mcfg.encoded_image_size,
+                compute_dtype=compute_dtype,
+            )
         ctx = greedy_lib.prepare_decode_context(
             params, mcfg, tokens, ents, compute_dtype=compute_dtype
         )

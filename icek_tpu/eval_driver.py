@@ -64,6 +64,7 @@ class Evaluator:
         beam_size: Optional[int] = None,
         compute_dtype=None,
         mesh=None,
+        encoder_qtree=None,
     ):
         """With ``mesh`` the evaluation is SPMD over the device mesh:
         params replicate (decode is bandwidth-bound data-parallel serving),
@@ -104,6 +105,13 @@ class Evaluator:
             if encoder_params is not None and compute_dtype != jnp.float32
             else None
         )
+        # Opt-in int8 PTQ encoder (models/resnet_int8.py): an already
+        # calibrated+quantized tree — changes arithmetic, so it is never
+        # auto-enabled; build one with resnet_int8.calibrate_and_quantize
+        # on representative batches and persist it with the checkpoint.
+        if encoder_qtree is not None and mesh is not None:
+            encoder_qtree = mesh_lib.replicate(encoder_qtree, mesh)
+        self._encoder_qtree = encoder_qtree
         # image-encode + context/memory prep + decode fused into one jitted
         # executable per input signature (separate jits pay a dispatch
         # boundary each; fusing measured ~1.5x end-to-end on v5e)
@@ -140,7 +148,15 @@ class Evaluator:
                     images_or_tokens = image_ops.normalize_in_graph(
                         images_or_tokens
                     )
-                if self._encoder_folded is not None:
+                if self._encoder_qtree is not None:
+                    from icek_tpu.models import resnet_int8
+
+                    tokens = resnet_int8.resnet_encode_int8(
+                        self._encoder_qtree, images_or_tokens,
+                        cfg.model.encoded_image_size,
+                        compute_dtype=self.compute_dtype,
+                    )
+                elif self._encoder_folded is not None:
                     tokens = resnet.resnet_encode_folded(
                         self._encoder_folded, images_or_tokens,
                         cfg.model.encoded_image_size,

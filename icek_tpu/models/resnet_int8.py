@@ -1,0 +1,253 @@
+"""Post-training int8 quantization of the folded ResNet-101 encoder.
+
+The bf16 folded encoder (``resnet.resnet_encode_folded``) is HBM-bandwidth
+bound at ~80% of the conv-fusion roofline (BASELINE.md, round-3 encode
+profile); the only lever left is the arithmetic itself.  On TPU v5e the MXU
+runs int8xint8->int32 convolutions at 2x the bf16 rate AND the int8
+activations halve the HBM traffic — a 20-conv chain at a representative
+ResNet shape measured 1.66x over bf16 end-to-end (round-3 probe).
+
+Scheme (standard symmetric PTQ):
+
+- Weights: per-output-channel symmetric int8 — ``wq[...,c] =
+  round(w[...,c]/s_w[c])`` with ``s_w[c] = max|w[...,c]|/127``.  The folded
+  conv bias stays f32 and is applied in the epilogue.
+- Activations: static per-tensor scales from a calibration pass
+  (:func:`calibrate`) that records the running max of every requantization
+  point over representative batches.  Post-ReLU tensors are non-negative so
+  quantized values live in [0, 127]; the network input uses the full
+  symmetric [-127, 127] range.
+- Each conv runs ``int8 x int8 -> int32`` (``preferred_element_type``), and
+  its epilogue — ``acc * (a_in * s_w) + b``, residual add, ReLU, requantize
+  — is f32 elementwise that XLA fuses into the conv, so inter-layer HBM
+  traffic is int8.
+- The adaptive-average-pool + 1x1 projection tail runs in ``compute_dtype``
+  (14x14 spatial — negligible traffic, and pooling f32 keeps the token
+  statistics clean).
+
+MaxPool commutes with requantization (positive scale is monotonic), so the
+stem pools the already-quantized int8 tensor.
+
+This path changes arithmetic — captions are NOT guaranteed identical to the
+bf16 pipeline (unlike BN folding, which is a reassociation).  It is opt-in:
+quantize explicitly with :func:`calibrate` + :func:`quantize` (or
+:func:`calibrate_and_quantize`) and pass the tree to
+``Evaluator(encoder_qtree=...)``.  Calibration data choice is part of the
+model artifact; persist the tree (it is a plain pytree) next to checkpoints.
+
+Reference parity note: the reference has no quantized path (encoder built at
+geo-aware/models.py:24-46, always fp32); this is a beyond-reference serving
+optimization.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from icek_tpu.models import resnet
+
+
+# --------------------------------------------------------------------------
+# Quantization helpers
+# --------------------------------------------------------------------------
+
+def _weight_scales(w: jnp.ndarray) -> jnp.ndarray:
+    """Per-output-channel symmetric scales for an HWIO weight."""
+    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    return jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+
+
+def _quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    s = _weight_scales(w)
+    wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return wq, s
+
+
+def _requant_relu(y: jnp.ndarray, inv_a: jnp.ndarray) -> jnp.ndarray:
+    """ReLU + symmetric requantization to the non-negative int8 range."""
+    return jnp.clip(jnp.round(jax.nn.relu(y) * inv_a), 0, 127).astype(jnp.int8)
+
+
+def _qconv(xq: jnp.ndarray, wq: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    """int8 x int8 -> int32 conv, torch-style same-ish padding."""
+    kh = wq.shape[0]
+    pad = (kh - 1) // 2
+    return jax.lax.conv_general_dilated(
+        xq, wq, window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _scale(x) -> jnp.ndarray:
+    """max -> scale, guarding all-zero calibration tensors."""
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.where(x > 0, x / 127.0, jnp.float32(1.0))
+
+
+# --------------------------------------------------------------------------
+# Calibration
+# --------------------------------------------------------------------------
+
+def observe(folded, images: jnp.ndarray, compute_dtype=jnp.bfloat16) -> Dict:
+    """One folded forward pass recording the max at every requantization
+    point.  Returns a pytree of f32 scalars with the same keying the
+    quantized tree uses; jit-safe (call under jit for speed, then take the
+    elementwise running max across batches on the host or with jnp.maximum).
+
+    Layout: {"a_img", "a_stem", "layer{1..4}": [{"a1","a2","a_out"}, ...]}.
+    """
+    obs: Dict = {"a_img": jnp.max(jnp.abs(images)).astype(jnp.float32)}
+
+    def cb(block, name, y, s=1):
+        return resnet.conv(y, block[name], s, compute_dtype) + block[
+            name.replace("conv", "b")
+        ].astype(compute_dtype)
+
+    x = resnet.conv(images, folded["conv1"], 2, compute_dtype) + folded[
+        "b1"
+    ].astype(compute_dtype)
+    x = jax.nn.relu(x)
+    obs["a_stem"] = jnp.max(x).astype(jnp.float32)
+    x = resnet.max_pool_3x3_s2(x)
+    for stage in range(1, 5):
+        stage_obs: List[Dict] = []
+        for b, block in enumerate(folded[f"layer{stage}"]):
+            stride = 2 if (stage > 1 and b == 0) else 1
+            o: Dict = {}
+            out = jax.nn.relu(cb(block, "conv1", x))
+            o["a1"] = jnp.max(out).astype(jnp.float32)
+            out = jax.nn.relu(cb(block, "conv2", out, stride))
+            o["a2"] = jnp.max(out).astype(jnp.float32)
+            out = cb(block, "conv3", out)
+            if "down_conv" in block:
+                shortcut = cb(block, "down_conv", x, stride)
+            else:
+                shortcut = x.astype(out.dtype)
+            x = jax.nn.relu(out + shortcut)
+            o["a_out"] = jnp.max(x).astype(jnp.float32)
+            stage_obs.append(o)
+        obs[f"layer{stage}"] = stage_obs
+    return obs
+
+
+def calibrate(folded, batches: Iterable[jnp.ndarray],
+              compute_dtype=jnp.bfloat16) -> Dict:
+    """Running elementwise max of :func:`observe` over calibration batches
+    (normalized NHWC float images).  Returns the observation pytree."""
+    run = jax.jit(lambda imgs: observe(folded, imgs, compute_dtype))
+    acc = None
+    for images in batches:
+        o = run(images)
+        acc = o if acc is None else jax.tree.map(jnp.maximum, acc, o)
+    if acc is None:
+        raise ValueError("calibrate() needs at least one batch")
+    return jax.device_get(acc)
+
+
+# --------------------------------------------------------------------------
+# Quantized tree
+# --------------------------------------------------------------------------
+
+def quantize(folded, obs: Dict) -> Dict:
+    """Folded tree + calibration observations -> int8 inference tree.
+
+    Per conv site: {"wq" int8 HWIO, "es" f32 (Cout,) = a_in * s_w (the
+    epilogue dequant scale), "b" f32 bias}.  Per requant point: "inv_*"
+    f32 reciprocal scales.  "proj" passes through in float.
+    """
+    def site(w, bias, a_in):
+        wq, sw = _quantize_weight(w)
+        return {"wq": wq, "es": (jnp.float32(a_in) * sw).astype(jnp.float32),
+                "b": jnp.asarray(bias, jnp.float32)}
+
+    a_img = _scale(obs["a_img"])
+    a_stem = _scale(obs["a_stem"])
+    out: Dict = {
+        "inv_img": 1.0 / a_img,
+        "conv1": site(folded["conv1"], folded["b1"], a_img),
+        "inv_stem": 1.0 / a_stem,
+    }
+    a_x = a_stem
+    for stage in range(1, 5):
+        blocks = []
+        for block, o in zip(folded[f"layer{stage}"], obs[f"layer{stage}"]):
+            a1, a2 = _scale(o["a1"]), _scale(o["a2"])
+            a_out = _scale(o["a_out"])
+            qb = {
+                "conv1": site(block["conv1"], block["b1"], a_x),
+                "inv_a1": 1.0 / a1,
+                "conv2": site(block["conv2"], block["b2"], a1),
+                "inv_a2": 1.0 / a2,
+                "conv3": site(block["conv3"], block["b3"], a2),
+                "a_x": a_x,
+                "inv_out": 1.0 / a_out,
+            }
+            if "down_conv" in block:
+                qb["down_conv"] = site(block["down_conv"], block["down_b"], a_x)
+            blocks.append(qb)
+            a_x = a_out
+        out[f"layer{stage}"] = blocks
+    out["a_final"] = a_x
+    out["proj"] = folded["proj"]
+    return out
+
+
+def calibrate_and_quantize(folded, batches: Iterable[jnp.ndarray],
+                           compute_dtype=jnp.bfloat16) -> Dict:
+    return quantize(folded, calibrate(folded, batches, compute_dtype))
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+def _site_out(site, xq, stride=1):
+    """Dequantized f32 conv output: acc * es + b."""
+    acc = _qconv(xq, site["wq"], stride)
+    return acc.astype(jnp.float32) * site["es"] + site["b"]
+
+
+def resnet_encode_int8(
+    qtree,
+    images: jnp.ndarray,             # (B, H, W, 3) normalized NHWC float
+    encoded_size: int = 14,
+    compute_dtype=jnp.bfloat16,
+):
+    """int8 ``resnet_encode_folded``: images -> (B, encoded_size**2, D)
+    tokens, h-major (reference flatten order, geo models.py:46)."""
+    xq = jnp.clip(
+        jnp.round(images.astype(jnp.float32) * qtree["inv_img"]), -127, 127
+    ).astype(jnp.int8)
+    y = _site_out(qtree["conv1"], xq, 2)
+    xq = _requant_relu(y, qtree["inv_stem"])
+    # int8 maxpool: requantization is monotonic, so pooling the quantized
+    # tensor equals quantizing the pooled tensor.  reduce_window needs the
+    # int8 identity, not -inf.
+    xq = jax.lax.reduce_window(
+        xq, jnp.int8(-128), jax.lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=[(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    for stage in range(1, 5):
+        for b, qb in enumerate(qtree[f"layer{stage}"]):
+            stride = 2 if (stage > 1 and b == 0) else 1
+            out = _requant_relu(_site_out(qb["conv1"], xq), qb["inv_a1"])
+            out = _requant_relu(_site_out(qb["conv2"], out, stride),
+                                qb["inv_a2"])
+            y = _site_out(qb["conv3"], out)
+            if "down_conv" in qb:
+                shortcut = _site_out(qb["down_conv"], xq, stride)
+            else:
+                shortcut = xq.astype(jnp.float32) * qb["a_x"]
+            xq = _requant_relu(y + shortcut, qb["inv_out"])
+    x = xq.astype(compute_dtype) * qtree["a_final"].astype(compute_dtype)
+    x = resnet.adaptive_avg_pool(x, (encoded_size, encoded_size))
+    x = resnet.conv(x, qtree["proj"]["w"], 1, compute_dtype) + qtree["proj"][
+        "b"
+    ].astype(compute_dtype)
+    B, H, W, D = x.shape
+    return x.reshape(B, H * W, D)

@@ -176,3 +176,61 @@ def test_in_graph_normalize_bit_exact_and_token_exact(tmp_path):
     np.testing.assert_array_equal(
         evaluator.decode_batch(raw_batch), evaluator.decode_batch(norm_batch)
     )
+
+
+def test_evaluator_int8_encoder_wiring(tmp_path):
+    """Evaluator(encoder_qtree=...) must route image batches through the
+    int8 encode (models/resnet_int8.py): decoding an "images" batch with
+    the quantized evaluator equals encoding with resnet_encode_int8
+    directly and decoding the resulting "image_tokens" batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from icek_tpu import eval_driver
+    from icek_tpu.data import dataset as ds
+    from icek_tpu.data import images as image_ops
+    from icek_tpu.data import input_files
+    from icek_tpu.models import captioner, resnet, resnet_int8
+
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_train_e2e import make_raw_dataset, tiny_cfg
+
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    wm = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    ).run()
+    test_data = ds.CaptionDataset(str(out_dir), "tiny_geo", "TEST")
+
+    key = jax.random.PRNGKey(3)
+    params = captioner.init_captioner_params(key, cfg.model, len(wm))
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+    folded = resnet.fold_bn_params(encoder_params)
+
+    idx = np.arange(min(4, len(test_data)))
+    batch = test_data.batch(idx)
+    images = jnp.asarray(batch["images"])
+    qtree = resnet_int8.calibrate_and_quantize(
+        folded, [images], compute_dtype=jnp.float32
+    )
+
+    evaluator = eval_driver.Evaluator(
+        cfg, wm, params, encoder_params, batch_size=4, beam_size=3,
+        encoder_qtree=qtree,
+    )
+    got = evaluator.decode_batch(batch)
+
+    tokens = resnet_int8.resnet_encode_int8(
+        qtree, images, cfg.model.encoded_image_size,
+        compute_dtype=evaluator.compute_dtype,
+    )
+    token_batch = dict(batch)
+    del token_batch["images"]
+    token_batch["image_tokens"] = np.asarray(tokens)
+    want = evaluator.decode_batch(token_batch)
+    np.testing.assert_array_equal(got, want)
