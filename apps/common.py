@@ -190,6 +190,10 @@ def run_eval(preset: str, argv=None):
                         "scales on the first N TEST batches; CHANGES "
                         "ARITHMETIC — captions may differ slightly from "
                         "the bf16 pipeline (opt-in serving speedup)")
+    p.add_argument("--encoder-qtree", default=None, metavar="FILE",
+                   help="use an already calibrated int8 encoder tree "
+                        "(tools/quantize_encoder.py); overrides "
+                        "--encoder-int8")
     add_parallel_args(p, "decode")
     args = p.parse_args(argv)
 
@@ -229,7 +233,11 @@ def run_eval(preset: str, argv=None):
             args.data_dir, cfg.data.base_name, "TEST", cfg.model.has_facts
         )
     encoder_qtree = None
-    if args.encoder_int8:
+    if args.encoder_qtree:
+        from icek_tpu.models import resnet_int8
+
+        encoder_qtree = resnet_int8.load_qtree(args.encoder_qtree)
+    elif args.encoder_int8:
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -300,6 +308,10 @@ def run_serve(preset: str, argv=None):
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile every bucket from a TEST-split sample "
                         "before accepting traffic")
+    p.add_argument("--encoder-qtree", default=None, metavar="FILE",
+                   help="serve with the int8 PTQ encoder from a calibrated "
+                        "tree (tools/quantize_encoder.py); changes "
+                        "arithmetic vs the bf16 pipeline")
     args = p.parse_args(argv)
 
     from icek_tpu.serve.engine import ServingEngine
@@ -314,9 +326,15 @@ def run_serve(preset: str, argv=None):
         )
     else:
         params, _, encoder_params, _ = ckpt_lib.load_checkpoint(args.checkpoint)
+    encoder_qtree = None
+    if args.encoder_qtree:
+        from icek_tpu.models import resnet_int8
+
+        encoder_qtree = resnet_int8.load_qtree(args.encoder_qtree)
     engine = ServingEngine(
         cfg, wm, params, encoder_params, beam_size=args.beam,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        encoder_qtree=encoder_qtree,
     )
     if args.warmup:
         from icek_tpu.data import dataset as ds

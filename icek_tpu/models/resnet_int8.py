@@ -201,6 +201,23 @@ def calibrate_and_quantize(folded, batches: Iterable[jnp.ndarray],
     return quantize(folded, calibrate(folded, batches, compute_dtype))
 
 
+def save_qtree(qtree: Dict, path: str) -> None:
+    """Persist a quantized tree (calibration is part of the model artifact
+    — ship the tree with the checkpoint, don't recalibrate per host)."""
+    from flax import serialization
+
+    blob = serialization.msgpack_serialize(jax.device_get(qtree))
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_qtree(path: str) -> Dict:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
 # --------------------------------------------------------------------------
 # Forward
 # --------------------------------------------------------------------------

@@ -160,3 +160,17 @@ def test_encode_int8_close_and_deterministic(rng):
                               compute_dtype=jnp.float32)
     )
     np.testing.assert_array_equal(got, again)
+
+
+def test_qtree_save_load_roundtrip(rng, tmp_path):
+    """Persisted trees (tools/quantize_encoder.py artifact flow) must encode
+    bit-identically to the in-memory tree."""
+    folded = _small_folded(rng)
+    images = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    qt = q8.calibrate_and_quantize(folded, [images], compute_dtype=jnp.float32)
+    path = str(tmp_path / "enc_int8.msgpack")
+    q8.save_qtree(qt, path)
+    loaded = q8.load_qtree(path)
+    want = np.asarray(q8.resnet_encode_int8(qt, images, 2, jnp.float32))
+    got = np.asarray(q8.resnet_encode_int8(loaded, images, 2, jnp.float32))
+    np.testing.assert_array_equal(got, want)
