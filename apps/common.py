@@ -126,6 +126,15 @@ def run_train(preset: str, argv=None):
                         "improvement knob, geo-aware/train.py:54)")
     p.add_argument("--glove", default=None,
                    help="path to GloVe-format embeddings for word init")
+    p.add_argument("--encoder-weights", default=None, metavar="FILE",
+                   help="initialize the image encoder from pretrained "
+                        "weights — a torchvision resnet101 state_dict .pth "
+                        "(ImageNet-pretrained, the reference's "
+                        "pretrained=True at geo-aware/models.py:14-16) or a "
+                        "ported .msgpack tree from "
+                        "tools/port_torchvision_encoder.py; the 1x1 "
+                        "projection is freshly initialized when the file "
+                        "carries none")
     p.add_argument("--streaming", action="store_true",
                    help="stream batches from the HDF5 sidecar store "
                         "(constant host memory; NYTimes800k scale)")
@@ -160,6 +169,7 @@ def run_train(preset: str, argv=None):
         max_epochs=args.epochs,
         reset_epochs_since_improvement=args.reset_stale,
         mesh=mesh,
+        encoder_weights=args.encoder_weights,
     )
 
 

@@ -150,6 +150,17 @@ def bottleneck(block, x, stride=1, train=False, compute_dtype=jnp.float32,
     return jax.nn.relu(out + shortcut)
 
 
+def init_proj(key, emb_dim: int):
+    """Fresh 1x1 projection 2048 -> emb_dim (the reference constructs this
+    Conv2d anew on top of the pretrained body, geo-aware/models.py:32)."""
+    fan_in = STAGE_WIDTHS[-1] * EXPANSION
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    return {
+        "w": jax.random.uniform(key, (1, 1, fan_in, emb_dim), jnp.float32, -bound, bound),
+        "b": jnp.zeros((emb_dim,), jnp.float32),
+    }
+
+
 def init_resnet101(key, emb_dim: int = 300):
     ks = jax.random.split(key, 6)
     params = {
@@ -167,13 +178,7 @@ def init_resnet101(key, emb_dim: int = 300):
             )
             cin = width * EXPANSION
         params[f"layer{stage}"] = blocks
-    # 1x1 projection to emb_dim (reference: geo-aware/models.py:32)
-    fan_in = STAGE_WIDTHS[-1] * EXPANSION
-    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
-    params["proj"] = {
-        "w": jax.random.uniform(ks[5], (1, 1, fan_in, emb_dim), jnp.float32, -bound, bound),
-        "b": jnp.zeros((emb_dim,), jnp.float32),
-    }
+    params["proj"] = init_proj(ks[5], emb_dim)
     return params
 
 

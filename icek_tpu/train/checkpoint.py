@@ -116,6 +116,32 @@ def load_checkpoint(path: str, opt_state_template: Any = None) -> Tuple[Any, Any
     )
 
 
+def save_encoder_tree(path: str, encoder_params: Any, meta: Optional[Dict] = None) -> str:
+    """Standalone encoder-weights file (tools/port_torchvision_encoder.py):
+    ``{meta, encoder_params}`` only, for ``train.py --encoder-weights``."""
+    payload = {
+        "meta": json.dumps(meta or {}),
+        "encoder_params": _to_numpy(encoder_params),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return path
+
+
+def load_encoder_tree(path: str) -> Tuple[Any, Dict]:
+    """Restore (encoder_params, meta) from a ``save_encoder_tree`` file —
+    or from a full training checkpoint (its encoder_params are taken)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    if not payload.get("encoder_params"):
+        raise ValueError(f"{path} carries no encoder_params")
+    meta = json.loads(payload.get("meta", "{}"))
+    return jax.tree.map(jnp.asarray, payload["encoder_params"]), meta
+
+
 def latest_checkpoint(directory: str, base_name: str) -> Optional[str]:
     """Most recent checkpoint for auto-resume.
 

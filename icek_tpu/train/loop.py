@@ -214,6 +214,7 @@ def train(
     reset_epochs_since_improvement: bool = False,
     log: Callable[[str], None] = print,
     mesh=None,
+    encoder_weights: Optional[str] = None,
 ) -> TrainResult:
     """Full training run for one preset; returns the best params.
 
@@ -243,7 +244,18 @@ def train(
     params = captioner.init_captioner_params(k_model, cfg.model, vocab_size)
     if pretrained_embeddings is not None:
         params["word_embedding"] = jnp.asarray(pretrained_embeddings)
-    encoder_params = resnet.init_resnet101(k_enc, cfg.model.emb_dim)
+    if encoder_weights:
+        # pretrained image encoder for fresh runs — the reference's
+        # torchvision resnet101(pretrained=True) (geo-aware/models.py:14-16,
+        # train.py:90); a .pth state_dict or a ported .msgpack tree
+        from icek_tpu.train import port
+
+        encoder_params = port.resolve_encoder_weights(
+            encoder_weights, cfg.model.emb_dim, seed=tc.seed
+        )
+        log(f"encoder initialized from {encoder_weights}")
+    else:
+        encoder_params = resnet.init_resnet101(k_enc, cfg.model.emb_dim)
 
     mesh_lib = None
     if mesh is not None:

@@ -113,6 +113,76 @@ def import_encoder_state(state: Dict[str, "np.ndarray"], emb_dim: int = 300):
     return resnet.import_torch_state({k: _np(v) for k, v in state.items()}, emb_dim)
 
 
+def load_torchvision_encoder(state_or_path, emb_dim: int = 300, seed: int = 0):
+    """ImageNet-pretrained torchvision ``resnet101`` weights -> encoder tree.
+
+    The reference initializes its Encoder from the pretrained torchvision
+    body plus a FRESH 1x1 projection conv (geo-aware/models.py:14-32,
+    constructed for every fresh training run at geo-aware/train.py:90).
+    This is the icek_tpu equivalent: the body imports via
+    ``resnet.import_torch_state``; when the file carries no projection (a
+    plain torchvision state_dict), ``proj`` is freshly initialized from
+    ``seed`` exactly like ``resnet.init_resnet101``'s.
+
+    Accepts a path to a torch file — a raw state_dict, a
+    ``{"state_dict": ...}`` wrapper, or a pickled module — or an in-memory
+    mapping of arrays/tensors (raw torchvision names or the reference
+    Encoder's ``resnet.<idx>`` names).
+    """
+    import os
+
+    if isinstance(state_or_path, (str, os.PathLike)):
+        import torch
+
+        obj = torch.load(state_or_path, map_location="cpu", weights_only=False)
+    else:
+        obj = state_or_path
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if (
+        isinstance(obj, dict)
+        and "state_dict" in obj
+        and hasattr(obj["state_dict"], "items")
+    ):
+        obj = obj["state_dict"]
+    state = {k: _np(v) for k, v in obj.items()}
+    params = resnet.import_torch_state(state, emb_dim)
+    # import_torch_state zero-fills proj when the state carries none (the
+    # torchvision-body case); a trainable encoder needs the reference's
+    # fresh random projection there instead.
+    has_ref_proj = (
+        any(k.startswith("resnet.0") for k in state) and "conv1.bias" in state
+    )
+    if "proj.weight" not in state and not has_ref_proj:
+        import jax
+
+        params["proj"] = resnet.init_proj(jax.random.PRNGKey(seed), emb_dim)
+    got = params["proj"]["w"].shape[-1]
+    if got != emb_dim:
+        raise ValueError(
+            f"encoder weights project to emb_dim={got}, model wants {emb_dim}"
+        )
+    return params
+
+
+def resolve_encoder_weights(path: str, emb_dim: int = 300, seed: int = 0):
+    """Dispatch ``--encoder-weights FILE``: a ported ``.msgpack`` encoder
+    tree (tools/port_torchvision_encoder.py), a full icek checkpoint
+    ``.msgpack`` (its encoder_params are taken), or a torch ``.pth`` /
+    state_dict file (converted on the fly)."""
+    if path.endswith(".msgpack"):
+        from icek_tpu.train import checkpoint as ckpt
+
+        tree, _ = ckpt.load_encoder_tree(path)
+        got = tree["proj"]["w"].shape[-1]
+        if got != emb_dim:
+            raise ValueError(
+                f"encoder weights project to emb_dim={got}, model wants {emb_dim}"
+            )
+        return tree
+    return load_torchvision_encoder(path, emb_dim, seed)
+
+
 def load_reference_checkpoint(path: str, cfg: ModelConfig):
     """Load a reference ``.pth.tar`` (whole pickled modules) and return
     ``(captioner_params, encoder_params, meta)``.

@@ -48,6 +48,59 @@ def test_cider_perfect_match_scores_ten():
     assert all(abs(s - 10.0) < 1e-6 for s in scores)
 
 
+def test_cider_hand_computed_with_df():
+    """Hand-derived golden on a corpus where document frequency > 1, count
+    clipping, and the gaussian length penalty (sigma=6) all bind
+    (coco-caption Cider semantics, geo-aware/compute_eval_metrics.py:35).
+
+    Corpus (N=3 images, 1 ref each):
+      img1: ref "a b",  cand "a a b"   (cand count of 'a' exceeds ref -> clip;
+                                        len 3 vs 2 -> delta=1 penalty)
+      img2: ref "a c",  cand "c"       (delta=-1 penalty)
+      img3: ref "d e",  cand "d e"     (exact; only n=1,2 levels non-empty)
+
+    df('a') = 2 (appears in the refs of img1 AND img2), every other gram 1.
+    The expected values below are derived independently, straight-line:
+    missing log(df) weighting (idf_a would be log 3, not log 1.5), missing
+    clipping (the 'a' dot term would use 2*idf_a), or a missing length
+    penalty each shifts them beyond the 1e-9 tolerance."""
+    import math
+
+    log3 = math.log(3.0)
+    idf_a = log3 - math.log(2.0)  # df>1 binds: log(3) - log(df=2)
+    pen1 = math.exp(-1.0 / (2 * 6.0 ** 2))  # |delta|=1
+
+    # --- img1 ---
+    # n=1: cand vec {a: 2*idf_a, b: log3}, ref vec {a: idf_a, b: log3};
+    # clipped dot = min(2*idf_a, idf_a)*idf_a + log3*log3
+    dot1 = idf_a ** 2 + log3 ** 2
+    n1 = dot1 / (
+        math.sqrt((2 * idf_a) ** 2 + log3 ** 2)
+        * math.sqrt(idf_a ** 2 + log3 ** 2)
+    ) * pen1
+    # n=2: cand {aa: log3, ab: log3} (df('a a')=0 -> idf=log 3),
+    # ref {ab: log3}; shared 'a b' only
+    n2 = (log3 ** 2) / (math.sqrt(2) * log3 * log3) * pen1
+    # n=3: ref has no trigram -> 0; n=4: both empty -> 0
+    score1 = 10.0 * (n1 + n2) / 4.0
+
+    # --- img2 ---
+    # n=1: cand {c: log3}, ref {a: idf_a, c: log3}; dot = log3^2
+    m1 = (log3 ** 2) / (log3 * math.sqrt(idf_a ** 2 + log3 ** 2)) * pen1
+    score2 = 10.0 * m1 / 4.0  # n>=2: cand has none
+
+    # --- img3 --- exact 2-token match: sim=1 at n=1 and n=2, 0 above
+    score3 = 10.0 * 2.0 / 4.0
+
+    mean, scores = cider.cider_score(
+        [["a b"], ["a c"], ["d e"]], ["a a b", "c", "d e"]
+    )
+    assert abs(scores[0] - score1) < 1e-9, (scores[0], score1)
+    assert abs(scores[1] - score2) < 1e-9, (scores[1], score2)
+    assert abs(scores[2] - score3) < 1e-9, (scores[2], score3)
+    assert abs(mean - (score1 + score2 + score3) / 3.0) < 1e-9
+
+
 def test_cider_orders_by_overlap():
     refs = [
         ["the old bridge crosses the river"],
