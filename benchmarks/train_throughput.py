@@ -56,16 +56,11 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic",
             train=dataclasses.replace(cfg.train, use_rbg_dropout=rbg_env == "1")
         )
     geom = os.environ.get("ICEK_GEOM")  # "<emb_dim>x<heads>", e.g. "384x12":
-    # from-scratch lane-aligned geometry (SURVEY §7: "measure whether padding
-    # internals to 384/512 helps the from-scratch training mode").  Not
-    # checkpoint-compatible with the reference's d=300/10-head models.
+    # from-scratch lane-aligned geometry (SURVEY §7; now a user capability —
+    # train.py --geometry / the georic_fast preset).  Not checkpoint-
+    # compatible with the reference's d=300/10-head models.
     if geom:
-        emb_dim, num_heads = (int(v) for v in geom.split("x"))
-        cfg = cfg.replace(
-            model=dataclasses.replace(
-                cfg.model, emb_dim=emb_dim, num_heads=num_heads
-            )
-        )
+        cfg = config_lib.apply_geometry(cfg, geom)
     flat_env = os.environ.get("ICEK_FLAT")  # A/B: flattened clip+Adam
     flat = None if flat_env is None else flat_env == "1"
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16

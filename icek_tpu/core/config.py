@@ -267,10 +267,85 @@ def nytimes800k() -> Config:
     )
 
 
+def geometry_of(cfg: Config) -> str:
+    return f"{cfg.model.emb_dim}x{cfg.model.num_heads}"
+
+
+def apply_geometry(cfg: Config, geometry: str) -> Config:
+    """Replace the transformer geometry for FROM-SCRATCH training.
+
+    ``geometry`` is ``"<emb_dim>x<num_heads>"``.  The packed input files are
+    geometry-independent (the entity type-embedding width is derived in-model
+    as ``emb_dim - num_entity_feature_dims``), so any preset's data works with
+    any geometry; checkpoints record their geometry and eval/serve re-apply
+    it automatically.  NOT checkpoint-parity with the reference — its
+    d_model=300 / 10 heads (*/train.py:27-38) is required to load or compare
+    against reference checkpoints.  Measured v5e-1 sweep at batch 256
+    (BASELINE.md): 256x8 trains +47% vs 300x10 (two full 128-lane tiles vs
+    three part-filled ones); padding UP to 384/512 does not help.
+    """
+    try:
+        emb_dim, num_heads = (int(v) for v in geometry.lower().split("x"))
+    except ValueError:
+        raise ValueError(
+            f"geometry must be '<emb_dim>x<num_heads>', got {geometry!r}"
+        )
+    if emb_dim <= 0 or num_heads <= 0 or emb_dim % num_heads:
+        raise ValueError(
+            f"geometry {geometry!r}: emb_dim must be a positive multiple "
+            f"of num_heads"
+        )
+    if emb_dim <= cfg.model.num_entity_feature_dims:
+        raise ValueError(
+            f"geometry {geometry!r}: emb_dim must exceed the "
+            f"{cfg.model.num_entity_feature_dims} entity feature dims"
+        )
+    return cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, emb_dim=emb_dim, num_heads=num_heads
+        )
+    )
+
+
+def resolve_geometry(cfg: Config, meta: Optional[dict] = None,
+                     flag: Optional[str] = None,
+                     log=print) -> Config:
+    """Eval/serve-side geometry resolution: an explicit ``--geometry`` flag
+    wins (it must agree with the checkpoint when the checkpoint recorded
+    one); otherwise the checkpoint meta's geometry is re-applied so a
+    ``--geometry``-trained model evaluates without repeating the flag."""
+    recorded = (meta or {}).get("geometry")
+    if flag and recorded and flag != recorded:
+        raise ValueError(
+            f"--geometry {flag} conflicts with the checkpoint's recorded "
+            f"geometry {recorded}"
+        )
+    want = flag or recorded
+    if want and want != geometry_of(cfg):
+        log(f"geometry: {want} "
+            f"({'flag' if flag else 'from checkpoint meta'})")
+        return apply_geometry(cfg, want)
+    return cfg
+
+
+def georic_fast() -> Config:
+    """georic with the measured-fastest from-scratch geometry (256x8).
+
+    +47% train throughput vs the reference 300x10 at batch 256 on v5e-1
+    with -28% transformer params (BASELINE.md geometry sweep); quality must
+    be re-established by training — this preset cannot load or be compared
+    bit-for-bit against reference checkpoints (use ``georic`` for parity).
+    Reads/writes the same ``geo_aware_georic2`` input files.
+    """
+    cfg = apply_geometry(georic(), "256x8")
+    return dataclasses.replace(cfg, name="georic_fast")
+
+
 PRESETS = {
     "georic": georic,
     "k_georic": k_georic,
     "nytimes800k": nytimes800k,
+    "georic_fast": georic_fast,
 }
 
 

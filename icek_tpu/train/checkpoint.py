@@ -39,12 +39,14 @@ def save_checkpoint(
     encoder_params: Any = None,
     is_best: bool = False,
     step: Optional[int] = None,
+    extra_meta: Optional[Dict] = None,
 ) -> str:
     """``step`` marks a MID-epoch checkpoint (fault tolerance): meta
     records the next batch index of ``epoch`` to run, the file is the
     rolling ``checkpoint_STEP_{base}``, and resume re-enters the same
     epoch at that batch (train/loop.py).  Epoch checkpoints (step=None)
-    keep the reference rotation protocol."""
+    keep the reference rotation protocol.  ``extra_meta`` merges additional
+    JSON-serializable fields into meta (e.g. the model geometry)."""
     os.makedirs(directory, exist_ok=True)
     # optimizer states are (named)tuples — store leaves and rebuild against a
     # template treedef at load time
@@ -60,6 +62,8 @@ def save_checkpoint(
     }
     if step is not None:
         meta["step"] = int(step)
+    if extra_meta:
+        meta.update(extra_meta)
     payload = {
         "meta": json.dumps(meta),
         "params": _to_numpy(params),

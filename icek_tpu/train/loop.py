@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from icek_tpu.core import config as config_lib
 from icek_tpu.core.config import Config
 from icek_tpu.data import dataset as ds
 from icek_tpu.data import images as image_ops
@@ -438,6 +439,7 @@ def train(
                 path = ckpt.save_checkpoint(
                     checkpoint_dir, cfg.data.base_name, epoch, stale,
                     best_loss, save_p, save_o, save_e, step=i + 1,
+                    extra_meta={"geometry": config_lib.geometry_of(cfg)},
                 )
                 if preempt:
                     log(f"PREEMPTED: saved {path} at epoch {epoch} batch {i + 1}")
@@ -501,6 +503,7 @@ def train(
                 ckpt.save_checkpoint(
                     checkpoint_dir, cfg.data.base_name, epoch, stale, val_loss,
                     save_params, save_opt, save_enc, is_best,
+                    extra_meta={"geometry": config_lib.geometry_of(cfg)},
                 )
                 # the completed epoch outranks any STEP file from its
                 # interior; drop the stale rolling file
