@@ -242,7 +242,7 @@ def _beam_cross_attention(mha, x, cross_kv, num_heads, compute_dtype):
 
 def _beam_decoder_step(decoder_params, x, caches, anc, i, cross_kvs,
                        num_heads, head_mask, group, compute_dtype,
-                       kv_int8=False):
+                       kv_int8=False, cross_int8=False):
     """All decoder layers for one beam step; x: (B, K, D)."""
     B, K, D = x.shape
     H = num_heads
@@ -259,7 +259,7 @@ def _beam_decoder_step(decoder_params, x, caches, anc, i, cross_kvs,
         )
         x = tfm.layer_norm(layer["norm1"], x + attn)
         cross_fn = (
-            _beam_cross_attention_int8 if kv_int8 else _beam_cross_attention
+            _beam_cross_attention_int8 if cross_int8 else _beam_cross_attention
         )
         cross_out = cross_fn(
             layer["cross_attn"], x, cross, num_heads, compute_dtype
@@ -327,14 +327,15 @@ def beam_decode(
     precomputed cross-attention K/V as per-row-quantized int8, halving
     their HBM payload; scales fold into the attention math after the int8
     contractions (K scales on the logits, V scales on the un-contracted
-    output), so dequantized tensors never materialize.  Not bit-parity
-    with the float path (quality-checked in tests instead).
-    MEASURED (v5e-1, controlled back-to-back A/B at the flagship batch-256
-    beam-5 shapes): 1420 vs 1572 captions/s — SLOWER than bf16 on this
-    chip.  The stock bf16 softmax->AV fusion chain is already
-    stream-optimal there, and the extra scale elementwise breaks it; the
-    option is kept (tested) for HBM-poorer parts or much larger memories
-    where the byte halving dominates.
+    output), so dequantized tensors never materialize.
+    kv_dtype="int8_cross" quantizes ONLY the precomputed cross-attention
+    K/V (the dominant decode-loop bytes at the fact presets: M=548/598
+    rows re-read every step) and keeps the tiny growing self caches in the
+    compute dtype, avoiding the per-step quantize ops on the write path.
+    Neither is bit-parity with the float path (quality-checked in tests).
+    Measured per-preset A/B numbers: BASELINE.md / benchmarks/int8_kv_ab.py
+    (r2 geo-shape result: int8 1420 vs bf16 1572 caps/s — the extra scale
+    elementwise breaks the stream-optimal softmax->AV fusion chain).
     """
     if use_fused_scores is None:
         # Measured on v5e-1 at the preset shapes (V=10k): the Pallas fused
@@ -380,12 +381,16 @@ def beam_decode(
     # Only beam 0 is alive at step 0 (all beams start identical).
     log_probs = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones((B, 1))
     cache_dt = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+    if kv_dtype not in (None, "int8", "int8_cross"):
+        raise ValueError(f"kv_dtype must be None/'int8'/'int8_cross', got {kv_dtype!r}")
     kv_int8 = kv_dtype == "int8"
-    if kv_int8 and use_megakernel:
-        raise ValueError("kv_dtype='int8' is not supported with the megakernel")
+    cross_int8 = kv_dtype in ("int8", "int8_cross")
+    if cross_int8 and use_megakernel:
+        raise ValueError(f"kv_dtype={kv_dtype!r} is not supported with the megakernel")
     cross_for_step = ctx.cross_kvs
-    if kv_int8:
+    if cross_int8:
         cross_for_step = quantize_cross_kvs(ctx.cross_kvs)
+    if kv_int8:
         caches = [
             {
                 "kq": jnp.zeros((B, max_len * K, D), jnp.int8),
@@ -454,6 +459,7 @@ def beam_decode(
             h, new_caches = _beam_decoder_step(
                 params["decoder"], x, caches, ancestry, i, cross_for_step, H,
                 head_mask, group, compute_dtype, kv_int8=kv_int8,
+                cross_int8=cross_int8,
             )
         fact_before = None
         if cfg.has_facts:

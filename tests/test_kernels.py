@@ -305,6 +305,15 @@ def test_int8_kv_beam_close_to_float(rng):
     np.testing.assert_allclose(np.asarray(qs), np.asarray(fs), atol=0.05)
     agree = (np.asarray(qt) == np.asarray(ft)).mean()
     assert agree >= 0.8, agree
+    # cross-KV-only quantization (self caches stay float): strictly fewer
+    # quantized tensors than full int8, so at least as close to the float
+    # path
+    ct, cs = beam_lib.beam_decode(*args, beam_size=5, kv_dtype="int8_cross")
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(fs), atol=0.05)
+    agree_cross = (np.asarray(ct) == np.asarray(ft)).mean()
+    assert agree_cross >= agree - 1e-9, (agree_cross, agree)
+    with pytest.raises(ValueError):
+        beam_lib.beam_decode(*args, beam_size=5, kv_dtype="fp8")
 
 
 def test_flash_train_step_grads_finite(rng):
