@@ -138,6 +138,59 @@ def run_open(engine, samples, rate, seconds):
             {"offered_rate": rate})
 
 
+class _RouterFront:
+    """engine-shaped facade over N replica engines behind the HTTP router
+    (icek_tpu/serve/router.py): caption() goes through the router (the
+    full proxy path under test), submit() adapts it to the open-loop
+    driver via a thread pool, stats() sums the replicas' counters."""
+
+    def __init__(self, engines, router_addr, clients):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from icek_tpu.serve.server import encode_request
+
+        self._engines = engines
+        self._addr = router_addr
+        self._encode = encode_request
+        self._pool = ThreadPoolExecutor(max_workers=max(clients, 8))
+
+    def caption(self, sample, timeout=None):
+        import http.client
+        import json as _json
+
+        conn = http.client.HTTPConnection(*self._addr, timeout=timeout)
+        try:
+            conn.request("POST", "/caption", body=self._encode(sample))
+            resp = conn.getresponse()
+            body = resp.read()
+            if resp.status != 200:
+                raise RuntimeError(f"{resp.status}: {body[:200]!r}")
+            return _json.loads(body)
+        finally:
+            conn.close()
+
+    def submit(self, sample):
+        return self._pool.submit(self.caption, sample, 600)
+
+    def stats(self):
+        from icek_tpu.serve.engine import ServeStats
+
+        total = ServeStats()
+        for e in self._engines:
+            s = e.stats()
+            total.requests += s.requests
+            total.batches += s.batches
+            total.errors += s.errors
+            for k, v in s.batch_fill.items():
+                total.batch_fill[k] = total.batch_fill.get(k, 0) + v
+        return total
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+        for e in self._engines:
+            e.close()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="both",
@@ -151,6 +204,12 @@ def main():
     ap.add_argument("--buckets", type=int, nargs="+", default=None,
                     help="explicit bucket ladder (fewer buckets = fewer "
                          "compiles; default powers of two up to max-batch)")
+    ap.add_argument("--replicas", type=int, default=1,
+                    help="N in-process engines behind the HTTP router "
+                         "(replica scale-out path; on one chip the replicas "
+                         "SHARE the device, so this exercises correctness "
+                         "and router overhead, not scaling — per-replica "
+                         "throughput is the --replicas 1 number)")
     args = ap.parse_args()
 
     n_samples = 64
@@ -164,11 +223,14 @@ def main():
     key = jax.random.PRNGKey(0)
     params = captioner.init_captioner_params(key, cfg.model, VOCAB)
     encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
-    engine = ServingEngine(
-        cfg, wm, params, encoder_params, beam_size=args.beam,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        buckets=args.buckets,
-    )
+    engines = [
+        ServingEngine(
+            cfg, wm, params, encoder_params, beam_size=args.beam,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            buckets=args.buckets,
+        )
+        for _ in range(args.replicas)
+    ]
     samples = []
     for i in range(n_samples):
         row = data.batch(np.array([i]), raw_images=True)
@@ -177,15 +239,41 @@ def main():
             "entity_features": row["entity_features"][0],
             "entity_names": data.arrays.entity_names[i],
         })
-    print(f"warmup: compiling buckets {engine.buckets}", file=sys.stderr)
-    engine.warmup(samples[0])
+    print(f"warmup: compiling buckets {engines[0].buckets}", file=sys.stderr)
+    for e in engines:
+        e.warmup(samples[0])
+
+    servers = []
+    if args.replicas > 1:
+        from icek_tpu.serve import router as router_lib
+        from icek_tpu.serve.server import make_server
+
+        for e in engines:
+            srv = make_server(e, port=0)
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            servers.append(srv)
+        router = router_lib.make_router(
+            [f"127.0.0.1:{s.server_address[1]}" for s in servers], port=0
+        )
+        threading.Thread(target=router.serve_forever, daemon=True).start()
+        servers.append(router)
+        front = _RouterFront(
+            engines, ("127.0.0.1", router.server_address[1]), args.clients
+        )
+    else:
+        front = engines[0]
     try:
         if args.mode in ("closed", "both"):
-            run_closed(engine, samples, args.clients, args.seconds)
+            run_closed(front, samples, args.clients, args.seconds)
         if args.mode in ("open", "both"):
-            run_open(engine, samples, args.rate, args.seconds)
+            run_open(front, samples, args.rate, args.seconds)
     finally:
-        engine.close()
+        for srv in servers:
+            srv.shutdown()
+        if front is not engines[0]:
+            front.close()
+        else:
+            engines[0].close()
 
 
 if __name__ == "__main__":

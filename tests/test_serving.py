@@ -252,6 +252,148 @@ def test_http_server_roundtrip(serving_setup):
         engine.close()
 
 
+# ---------------------------------------------------------------------------
+# replica router (icek_tpu/serve/router.py): one engine per chip/process
+# behind a round-robin front — the serving scale-out path
+# ---------------------------------------------------------------------------
+
+
+def _start(server):
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return thread
+
+
+def _post_caption(addr, sample, timeout=300):
+    import http.client
+
+    conn = http.client.HTTPConnection(*addr, timeout=timeout)
+    try:
+        conn.request("POST", "/caption", body=encode_request(sample))
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read())
+    finally:
+        conn.close()
+
+
+@pytest.fixture()
+def router_setup(serving_setup):
+    """Two live replica engines + HTTP servers + the router over them."""
+    from icek_tpu.serve import router as router_lib
+
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    engines, servers, threads = [], [], []
+    for _ in range(2):
+        engine = ServingEngine(
+            cfg, wm, params, encoder_params, beam_size=3,
+            max_batch=2, max_wait_ms=0.0,
+        )
+        server = make_server(engine, "127.0.0.1", 0, request_timeout=300)
+        threads.append(_start(server))
+        engines.append(engine)
+        servers.append(server)
+    router = router_lib.make_router(
+        [f"127.0.0.1:{s.server_address[1]}" for s in servers],
+        port=0, cooldown_s=0.2,
+    )
+    threads.append(_start(router))
+    yield engines, servers, router, data
+    router.shutdown()
+    router.server_close()
+    for server, engine in zip(servers, engines):
+        server.shutdown()
+        server.server_close()
+        engine.close()
+    for t in threads:
+        t.join()
+
+
+def test_router_round_robins_and_aggregates_stats(router_setup, serving_setup):
+    engines, servers, router, data = router_setup
+    oracle_caps, _ = _reference_captions(serving_setup)
+    addr = ("127.0.0.1", router.server_address[1])
+    n = 4
+    for i in range(n):
+        status, result = _post_caption(addr, _sample(data, i % len(data)))
+        assert status == 200
+        assert result["caption"] == oracle_caps[i % len(data)]
+    # sequential successes alternate strictly between the two replicas
+    per_engine = [e.stats().requests for e in engines]
+    assert per_engine == [n // 2, n // 2], per_engine
+    with urllib.request.urlopen(
+        f"http://{addr[0]}:{addr[1]}/stats", timeout=30
+    ) as r:
+        agg = json.load(r)
+    assert agg["totals"]["requests"] == n
+    assert agg["totals"]["errors"] == 0
+    assert [b["requests"] for b in agg["router"]] == per_engine
+    assert all(b["up"] for b in agg["router"])
+    with urllib.request.urlopen(
+        f"http://{addr[0]}:{addr[1]}/healthz", timeout=30
+    ) as r:
+        assert json.load(r) == {"ok": True}
+
+
+def test_router_survives_replica_death(router_setup, serving_setup):
+    """Killing one replica must cost at most a retry — every subsequent
+    request still succeeds on the survivor, nothing hangs, and the router
+    reports the death without going unhealthy."""
+    engines, servers, router, data = router_setup
+    oracle_caps, _ = _reference_captions(serving_setup)
+    addr = ("127.0.0.1", router.server_address[1])
+    # warm both replicas through the router first
+    for i in range(2):
+        status, _ = _post_caption(addr, _sample(data, 0))
+        assert status == 200
+    servers[0].shutdown()
+    servers[0].server_close()  # refuse connections, not just stop serving
+    engines[0].close()
+    for i in range(3):
+        status, result = _post_caption(addr, _sample(data, i % len(data)))
+        assert status == 200
+        assert result["caption"] == oracle_caps[i % len(data)]
+    snap = {b["address"]: b for b in router.router_state.snapshot()}
+    dead = f"127.0.0.1:{servers[0].server_address[1]}"
+    assert snap[dead]["errors"] >= 1
+    with urllib.request.urlopen(
+        f"http://{addr[0]}:{addr[1]}/healthz", timeout=30
+    ) as r:
+        assert json.load(r)["ok"] is True  # one survivor = healthy
+
+
+def test_router_all_replicas_down_returns_503(serving_setup):
+    """With no live backend the router answers 503 promptly (a structured
+    error, not a hang) and /healthz goes unhealthy after the failure."""
+    import socket
+
+    from icek_tpu.serve import router as router_lib
+
+    _, _, _, _, data, _ = serving_setup
+    # reserve-then-release a port so nothing listens on it
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    dead_port = probe.getsockname()[1]
+    probe.close()
+    router = router_lib.make_router(
+        [f"127.0.0.1:{dead_port}"], port=0, cooldown_s=60.0,
+        request_timeout=5.0,
+    )
+    thread = _start(router)
+    try:
+        addr = ("127.0.0.1", router.server_address[1])
+        status, payload = _post_caption(addr, _sample(data, 0), timeout=30)
+        assert status == 503
+        assert "no replica available" in payload["error"]
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(
+                f"http://{addr[0]}:{addr[1]}/healthz", timeout=30
+            )
+        assert err.value.code == 503
+    finally:
+        router.shutdown()
+        thread.join()
+
+
 def test_engine_int8_kv_serving_mode(serving_setup):
     """cfg.decode.kv_dtype="int8" (the HBM-poor serving option) plumbs
     through the Evaluator/engine stack and still produces plausible
