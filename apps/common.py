@@ -138,10 +138,25 @@ def run_train(preset: str, argv=None):
     p.add_argument("--streaming", action="store_true",
                    help="stream batches from the HDF5 sidecar store "
                         "(constant host memory; NYTimes800k scale)")
+    p.add_argument("--geometry", default=None, metavar="DxH",
+                   help="from-scratch transformer geometry "
+                        "'<emb_dim>x<num_heads>' (e.g. 256x8 — measured "
+                        "+47%% train throughput vs the reference 300x10 on "
+                        "v5e, BASELINE.md). NOT checkpoint-parity with the "
+                        "reference; recorded in checkpoints so eval/serve "
+                        "pick it up automatically. Incompatible with "
+                        "--glove (GloVe vectors are 300-d).")
     add_parallel_args(p, "train")
     args = p.parse_args(argv)
     import dataclasses
 
+    if args.geometry:
+        cfg = config_lib.apply_geometry(cfg, args.geometry)
+        if args.glove and cfg.model.emb_dim != 300:
+            raise SystemExit(
+                "--glove requires emb_dim=300 (GloVe 42B vectors); "
+                f"--geometry {args.geometry} is incompatible"
+            )
     mesh = resolve_parallel(args)
 
     from icek_tpu.train import loop as train_loop
@@ -204,6 +219,19 @@ def run_eval(preset: str, argv=None):
                    help="use an already calibrated int8 encoder tree "
                         "(tools/quantize_encoder.py); overrides "
                         "--encoder-int8")
+    p.add_argument("--geometry", default=None, metavar="DxH",
+                   help="transformer geometry of the checkpoint (normally "
+                        "auto-detected from its meta; only needed for "
+                        "checkpoints predating geometry recording)")
+    p.add_argument("--cache-tokens", nargs="?", const="auto", default=None,
+                   metavar="FILE",
+                   help="encode the TEST split once and cache the encoder "
+                        "tokens (default FILE: TEST_TOKENS_{base}.npz in "
+                        "--data-dir); later runs with the same checkpoint "
+                        "load the cache and skip the encoder + image IO — "
+                        "the metric-iteration fast path.  Caches are bound "
+                        "to the encoder weights by fingerprint and captions "
+                        "are token-identical to the image path")
     add_parallel_args(p, "decode")
     args = p.parse_args(argv)
 
@@ -230,7 +258,8 @@ def run_eval(preset: str, argv=None):
             args.checkpoint, cfg.model
         )
     else:
-        params, _, encoder_params, _ = ckpt_lib.load_checkpoint(args.checkpoint)
+        params, _, encoder_params, meta = ckpt_lib.load_checkpoint(args.checkpoint)
+        cfg = config_lib.resolve_geometry(cfg, meta, args.geometry)
 
     if args.streaming:
         from icek_tpu.data import streaming
@@ -258,23 +287,52 @@ def run_eval(preset: str, argv=None):
         bs = eval_driver.resolve_eval_batch_size(args.batch_size, cfg)
         folded = resnet.fold_bn_params(encoder_params)
 
+        # calibrate activation scales on VAL, never on the TEST split whose
+        # metrics the run reports (tools/quantize_encoder.py --split says
+        # the same); fall back to TEST with a loud warning only when no VAL
+        # files exist next to the TEST ones
+        try:
+            calib_data = ds.CaptionDataset(
+                args.data_dir, cfg.data.base_name, "VAL", cfg.model.has_facts
+            )
+            calib_split = "VAL"
+        except OSError:
+            calib_data, calib_split = data, "TEST"
+            print("[encoder-int8] WARNING: no VAL split found — calibrating "
+                  "on TEST, the split being reported (train/test leak; "
+                  "prefer tools/quantize_encoder.py --split VAL)")
+
         def calib_batches():
             for b in range(args.encoder_int8):
-                idx = np.arange(b * bs, min((b + 1) * bs, len(data)))
+                idx = np.arange(b * bs, min((b + 1) * bs, len(calib_data)))
                 if len(idx) == 0:
                     return
-                yield jnp.asarray(data.batch(idx)["images"])
+                yield jnp.asarray(calib_data.batch(idx)["images"])
 
-        print(f"[encoder-int8] calibrating on {args.encoder_int8} batches "
-              f"of {bs} (PTQ — arithmetic differs from bf16)")
+        print(f"[encoder-int8] calibrating on {args.encoder_int8} {calib_split} "
+              f"batches of {bs} (PTQ — arithmetic differs from bf16)")
         encoder_qtree = resnet_int8.calibrate_and_quantize(
-            folded, calib_batches(), compute_dtype=dtype
+            folded, calib_batches(), compute_dtype=dtype,
+            source_params=encoder_params,
         )
     evaluator = eval_driver.Evaluator(
         cfg, wm, params, encoder_params,
         batch_size=args.batch_size, beam_size=args.beam, mesh=mesh,
         encoder_qtree=encoder_qtree,
     )
+
+    if args.cache_tokens:
+        if args.streaming or mesh is not None:
+            raise SystemExit(
+                "--cache-tokens requires the in-memory single-process "
+                "loader (no --streaming / --distributed)"
+            )
+        cache_path = (
+            os.path.join(args.data_dir,
+                         f"TEST_TOKENS_{cfg.data.base_name}.npz")
+            if args.cache_tokens == "auto" else args.cache_tokens
+        )
+        evaluator.cache_split_tokens(data, cache_path)
 
     js_metric = fact_metric = predicate_to_objects = None
     if cfg.model.variant == "geo" and os.path.isdir(args.metric_data):
@@ -300,6 +358,55 @@ def run_eval(preset: str, argv=None):
     )
 
 
+def _strip_flag(argv, name, has_value=True):
+    """Remove ``name [value]`` / ``name=value`` occurrences from argv."""
+    out, skip = [], False
+    for tok in argv:
+        if skip:
+            skip = False
+            continue
+        if tok == name:
+            skip = has_value
+            continue
+        if has_value and tok.startswith(name + "="):
+            continue
+        out.append(tok)
+    return out
+
+
+def _run_serve_router(argv, args):
+    """serve.py --replicas N: spawn N single-engine replica subprocesses
+    of this same command (router.launch_replicas assigns each its own
+    --port and ICEK_SERVE_DEVICE), then front them with the round-robin
+    router on --port (icek_tpu/serve/router.py)."""
+    from icek_tpu.serve import router as router_lib
+
+    raw = list(sys.argv[1:] if argv is None else argv)
+    for flag in ("--replicas", "--port", "--host"):
+        raw = _strip_flag(raw, flag)
+    procs, specs = router_lib.launch_replicas(
+        [sys.argv[0]] + raw, args.replicas, args.port, host=args.host
+    )
+    try:
+        print(f"waiting for {args.replicas} replicas {specs} "
+              f"(warmup includes XLA compilation)", flush=True)
+        router_lib.wait_for_healthy(specs)
+        server = router_lib.make_router(specs, args.host, args.port)
+        print(f"routing over {specs} on "
+              f"http://{args.host}:{server.server_address[1]}", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+    finally:
+        for proc in procs:
+            proc.terminate()
+        for proc in procs:
+            proc.wait()
+
+
 def run_serve(preset: str, argv=None):
     """Online serving entry point (no reference counterpart — the
     reference has no serving path at all; see icek_tpu/serve/engine.py)."""
@@ -322,7 +429,25 @@ def run_serve(preset: str, argv=None):
                    help="serve with the int8 PTQ encoder from a calibrated "
                         "tree (tools/quantize_encoder.py); changes "
                         "arithmetic vs the bf16 pipeline")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="run N replica engines (one process per chip, "
+                        "ICEK_SERVE_DEVICE=i pins jax's default device) "
+                        "behind a round-robin router on --port "
+                        "(icek_tpu/serve/router.py)")
     args = p.parse_args(argv)
+
+    if args.replicas > 1:
+        return _run_serve_router(argv, args)
+
+    # replica subprocesses pin one device each (router.launch_replicas)
+    device_idx = os.environ.get("ICEK_SERVE_DEVICE")
+    if device_idx is not None:
+        import jax
+
+        devices = jax.devices()
+        jax.config.update(
+            "jax_default_device", devices[int(device_idx) % len(devices)]
+        )
 
     from icek_tpu.serve.engine import ServingEngine
     from icek_tpu.serve.server import make_server
@@ -335,7 +460,8 @@ def run_serve(preset: str, argv=None):
             args.checkpoint, cfg.model
         )
     else:
-        params, _, encoder_params, _ = ckpt_lib.load_checkpoint(args.checkpoint)
+        params, _, encoder_params, meta = ckpt_lib.load_checkpoint(args.checkpoint)
+        cfg = config_lib.resolve_geometry(cfg, meta)
     encoder_qtree = None
     if args.encoder_qtree:
         from icek_tpu.models import resnet_int8

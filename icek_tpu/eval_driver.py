@@ -109,6 +109,12 @@ class Evaluator:
         # calibrated+quantized tree — changes arithmetic, so it is never
         # auto-enabled; build one with resnet_int8.calibrate_and_quantize
         # on representative batches and persist it with the checkpoint.
+        if encoder_qtree is not None and encoder_params is not None:
+            # a qtree bakes the weights in — reject one quantized from a
+            # different checkpoint before it silently serves wrong encodings
+            from icek_tpu.models import resnet_int8
+
+            resnet_int8.verify_qtree(encoder_qtree, encoder_params)
         if encoder_qtree is not None and mesh is not None:
             encoder_qtree = mesh_lib.replicate(encoder_qtree, mesh)
         self._encoder_qtree = encoder_qtree
@@ -116,6 +122,96 @@ class Evaluator:
         # executable per input signature (separate jits pay a dispatch
         # boundary each; fusing measured ~1.5x end-to-end on v5e)
         self._fused = {}
+
+    def _encode_tokens(self, images_or_tokens, mode: str):
+        """The pipeline's encoder branch (traced inside a jit): raw f16
+        CHW rows or host-normalized images -> (B, P, D) token features,
+        via whichever encoder variant this Evaluator runs (int8 qtree >
+        folded bf16 > exact f32)."""
+        from icek_tpu.data import images as image_ops
+
+        cfg = self.cfg
+        if mode == "tokens":
+            return images_or_tokens
+        if mode == "raw":
+            # f16 CHW rows straight off HDF5: /255 + ImageNet
+            # normalize + NHWC transpose fuse into the first conv
+            images_or_tokens = image_ops.normalize_in_graph(images_or_tokens)
+        if self._encoder_qtree is not None:
+            from icek_tpu.models import resnet_int8
+
+            return resnet_int8.resnet_encode_int8(
+                self._encoder_qtree, images_or_tokens,
+                cfg.model.encoded_image_size,
+                compute_dtype=self.compute_dtype,
+            )
+        if self._encoder_folded is not None:
+            return resnet.resnet_encode_folded(
+                self._encoder_folded, images_or_tokens,
+                cfg.model.encoded_image_size,
+                compute_dtype=self.compute_dtype,
+            )
+        return resnet.resnet_encode(
+            self.encoder_params, images_or_tokens,
+            cfg.model.encoded_image_size,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def encoder_fingerprint(self) -> str:
+        """Content hash of whatever produces this Evaluator's image tokens
+        (active encoder tree + compute dtype + pool size) — the binding key
+        for cached-token artifacts."""
+        from icek_tpu.utils.fingerprint import tree_fingerprint
+
+        tree = (
+            self._encoder_qtree
+            if self._encoder_qtree is not None
+            else (self._encoder_folded
+                  if self._encoder_folded is not None
+                  else self.encoder_params)
+        )
+        kind = ("qtree" if self._encoder_qtree is not None else
+                "folded" if self._encoder_folded is not None else "exact")
+        return tree_fingerprint(tree, extra=(
+            kind, jnp.dtype(self.compute_dtype).name,
+            self.cfg.model.encoded_image_size,
+        ))
+
+    def cache_split_tokens(self, data: ds.CaptionDataset, cache_path: str,
+                           log: Callable[[str], None] = print) -> str:
+        """Encode ``data``'s images once and persist the tokens; later
+        invocations load them and skip the encoder + image IO entirely
+        (metric-iteration workflow: the e2e eval bottleneck is the
+        ~100 MB/batch image stream, BASELINE.md).  The cache records the
+        encoder fingerprint; a cache built under a different checkpoint /
+        encoder variant / compute dtype re-encodes instead of silently
+        serving stale features.  Tokens are stored f32 (exact for both the
+        f32 CPU and bf16 TPU pipelines — bf16 values round-trip through
+        f32), so cached-token captions are token-identical to the image
+        path (tests/test_eval_driver.py).  Returns "loaded" or "encoded"."""
+        import os
+
+        fp = self.encoder_fingerprint()
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                if (str(z["fingerprint"]) == fp
+                        and len(z["tokens"]) == len(data)):
+                    data.image_tokens = z["tokens"]
+                    log(f"token cache: loaded {cache_path} "
+                        f"({len(data)} rows, encoder {fp[:12]})")
+                    return "loaded"
+            log("token cache: stale (different encoder/length) — re-encoding")
+        encode = jax.jit(partial(self._encode_tokens, mode="raw"))
+        data.cache_image_tokens(
+            lambda raw: encode(jnp.asarray(raw)),
+            batch_size=self.batch_size, dtype=np.float32, raw=True,
+        )
+        tmp = cache_path + ".tmp.npz"  # .npz suffix: savez appends it otherwise
+        np.savez(tmp, tokens=data.image_tokens, fingerprint=fp)
+        os.replace(tmp, cache_path)
+        log(f"token cache: encoded + saved {cache_path} "
+            f"({len(data)} rows, encoder {fp[:12]})")
+        return "encoded"
 
     def _pipeline(self, mode: str, num_entity_rows: int):
         """``mode``: "raw" (stored f16 CHW rows, normalized in-graph — the
@@ -125,7 +221,6 @@ class Evaluator:
         key = (mode, num_entity_rows)
         if key in self._fused:
             return self._fused[key]
-        from icek_tpu.data import images as image_ops
         cfg = self.cfg
         wm = self.wordmap
         jit = jax.jit
@@ -141,35 +236,7 @@ class Evaluator:
 
         @jit
         def run(images_or_tokens, ents, facts):
-            if mode != "tokens":
-                if mode == "raw":
-                    # f16 CHW rows straight off HDF5: /255 + ImageNet
-                    # normalize + NHWC transpose fuse into the first conv
-                    images_or_tokens = image_ops.normalize_in_graph(
-                        images_or_tokens
-                    )
-                if self._encoder_qtree is not None:
-                    from icek_tpu.models import resnet_int8
-
-                    tokens = resnet_int8.resnet_encode_int8(
-                        self._encoder_qtree, images_or_tokens,
-                        cfg.model.encoded_image_size,
-                        compute_dtype=self.compute_dtype,
-                    )
-                elif self._encoder_folded is not None:
-                    tokens = resnet.resnet_encode_folded(
-                        self._encoder_folded, images_or_tokens,
-                        cfg.model.encoded_image_size,
-                        compute_dtype=self.compute_dtype,
-                    )
-                else:
-                    tokens = resnet.resnet_encode(
-                        self.encoder_params, images_or_tokens,
-                        cfg.model.encoded_image_size,
-                        compute_dtype=self.compute_dtype,
-                    )
-            else:
-                tokens = images_or_tokens
+            tokens = self._encode_tokens(images_or_tokens, mode)
             ctx = greedy_lib.prepare_decode_context(
                 self.params, cfg.model, tokens, ents, facts,
                 compute_dtype=self.compute_dtype,

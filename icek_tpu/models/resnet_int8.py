@@ -137,7 +137,16 @@ def observe(folded, images: jnp.ndarray, compute_dtype=jnp.bfloat16) -> Dict:
 def calibrate(folded, batches: Iterable[jnp.ndarray],
               compute_dtype=jnp.bfloat16) -> Dict:
     """Running elementwise max of :func:`observe` over calibration batches
-    (normalized NHWC float images).  Returns the observation pytree."""
+    (normalized NHWC float images).  Returns the observation pytree.
+
+    SENSITIVITY: a pure running max has no outlier rejection — a single
+    extreme activation anywhere in the calibration stream permanently
+    inflates that tensor's per-tensor scale and crushes quantization
+    resolution for typical values.  Calibrate on several representative
+    batches from the distribution you will serve (and NOT on the split
+    whose metrics you report — tools/quantize_encoder.py --split), and
+    sanity-check quality (cosine vs the float encoder on held-out images)
+    before deploying a tree."""
     run = jax.jit(lambda imgs: observe(folded, imgs, compute_dtype))
     acc = None
     for images in batches:
@@ -152,12 +161,19 @@ def calibrate(folded, batches: Iterable[jnp.ndarray],
 # Quantized tree
 # --------------------------------------------------------------------------
 
-def quantize(folded, obs: Dict) -> Dict:
+def quantize(folded, obs: Dict, source_params=None) -> Dict:
     """Folded tree + calibration observations -> int8 inference tree.
 
     Per conv site: {"wq" int8 HWIO, "es" f32 (Cout,) = a_in * s_w (the
     epilogue dequant scale), "b" f32 bias}.  Per requant point: "inv_*"
     f32 reciprocal scales.  "proj" passes through in float.
+
+    ``source_params`` (the UNFOLDED checkpoint encoder tree ``folded`` was
+    derived from) binds the artifact to its weights by content fingerprint
+    — :func:`verify_qtree` then rejects a stale/mismatched tree at load
+    time.  The raw tree is hashed (not the folded one) so the check is
+    backend-independent: the fold's float arithmetic may differ by an ulp
+    between CPU and TPU, raw checkpoint bytes never do.
     """
     def site(w, bias, a_in):
         wq, sw = _quantize_weight(w)
@@ -193,12 +209,55 @@ def quantize(folded, obs: Dict) -> Dict:
         out[f"layer{stage}"] = blocks
     out["a_final"] = a_x
     out["proj"] = folded["proj"]
+    if source_params is not None:
+        # bind the artifact to the weights it was baked from; verify_qtree
+        # rejects a stale/mismatched tree (wrong checkpoint) at load time
+        out["_fingerprint"] = encoder_fingerprint(source_params)
     return out
 
 
+def encoder_fingerprint(encoder_params):
+    """Content hash of the raw (unfolded) encoder tree, as a uint8 array
+    (msgpack-safe leaf for storage inside the qtree)."""
+    import numpy as np
+
+    from icek_tpu.utils.fingerprint import tree_fingerprint
+
+    fp = tree_fingerprint(encoder_params, extra=("resnet101-raw",))
+    return np.frombuffer(fp.encode(), dtype=np.uint8).copy()
+
+
+def verify_qtree(qtree: Dict, encoder_params,
+                 context: str = "encoder qtree") -> None:
+    """Raise if ``qtree`` was quantized from different weights than the
+    checkpoint's (unfolded) encoder tree.  Trees predating fingerprint
+    recording pass with a loud warning — they cannot be verified."""
+    import sys
+
+    import numpy as np
+
+    recorded = qtree.get("_fingerprint")
+    if recorded is None:
+        print(f"WARNING: {context} predates fingerprint recording — "
+              f"cannot verify it matches the checkpoint's encoder "
+              f"(re-quantize with tools/quantize_encoder.py to bind it)",
+              file=sys.stderr)
+        return
+    want = encoder_fingerprint(encoder_params)
+    if not np.array_equal(np.asarray(recorded), want):
+        raise ValueError(
+            f"{context} was quantized from DIFFERENT encoder weights than "
+            f"this checkpoint (fingerprint mismatch) — its baked-in int8 "
+            f"weights would silently serve another model's encodings. "
+            f"Re-quantize with tools/quantize_encoder.py."
+        )
+
+
 def calibrate_and_quantize(folded, batches: Iterable[jnp.ndarray],
-                           compute_dtype=jnp.bfloat16) -> Dict:
-    return quantize(folded, calibrate(folded, batches, compute_dtype))
+                           compute_dtype=jnp.bfloat16,
+                           source_params=None) -> Dict:
+    return quantize(folded, calibrate(folded, batches, compute_dtype),
+                    source_params=source_params)
 
 
 def save_qtree(qtree: Dict, path: str) -> None:

@@ -234,3 +234,70 @@ def test_evaluator_int8_encoder_wiring(tmp_path):
     token_batch["image_tokens"] = np.asarray(tokens)
     want = evaluator.decode_batch(token_batch)
     np.testing.assert_array_equal(got, want)
+
+
+def test_cache_split_tokens_token_identical_and_fingerprint_bound(tmp_path):
+    """--cache-tokens (Evaluator.cache_split_tokens): captions from cached
+    tokens are token-identical to the image path; a second invocation loads
+    the cache; a different encoder invalidates it (fingerprint mismatch)."""
+    import jax
+
+    from icek_tpu import eval_driver
+    from icek_tpu.data import dataset as ds
+    from icek_tpu.data import input_files
+    from icek_tpu.models import captioner, resnet
+
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_train_e2e import make_raw_dataset, tiny_cfg
+
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "input_dataset_files"
+    wm = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    ).run()
+
+    key = jax.random.PRNGKey(3)
+    params = captioner.init_captioner_params(key, cfg.model, len(wm))
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+    evaluator = eval_driver.Evaluator(
+        cfg, wm, params, encoder_params, batch_size=4, beam_size=3,
+    )
+
+    def fresh_data():
+        return ds.CaptionDataset(str(out_dir), "tiny_geo", "TEST")
+
+    # oracle: the normal image path
+    oracle = evaluator.run(
+        fresh_data(), output_csv=str(tmp_path / "a.csv"), log=lambda s: None
+    )["captions"]
+
+    cache = str(tmp_path / "TEST_TOKENS_tiny_geo.npz")
+    data = fresh_data()
+    assert evaluator.cache_split_tokens(data, cache, log=lambda s: None) == "encoded"
+    assert data.image_tokens is not None
+    cached = evaluator.run(
+        data, output_csv=str(tmp_path / "b.csv"), log=lambda s: None
+    )["captions"]
+    assert cached == oracle
+
+    # second invocation: loads, identical captions again
+    data2 = fresh_data()
+    assert evaluator.cache_split_tokens(data2, cache, log=lambda s: None) == "loaded"
+    reloaded = evaluator.run(
+        data2, output_csv=str(tmp_path / "c.csv"), log=lambda s: None
+    )["captions"]
+    assert reloaded == oracle
+
+    # a different checkpoint's encoder must NOT consume the stale cache
+    other_encoder = resnet.init_resnet101(jax.random.PRNGKey(9), cfg.model.emb_dim)
+    other_eval = eval_driver.Evaluator(
+        cfg, wm, params, other_encoder, batch_size=4, beam_size=3,
+    )
+    data3 = fresh_data()
+    assert other_eval.cache_split_tokens(data3, cache, log=lambda s: None) == "encoded"
+    assert other_eval.encoder_fingerprint() != evaluator.encoder_fingerprint()

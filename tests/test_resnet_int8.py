@@ -162,6 +162,32 @@ def test_encode_int8_close_and_deterministic(rng):
     np.testing.assert_array_equal(got, again)
 
 
+def test_qtree_fingerprint_binding(rng, tmp_path, capsys):
+    """A qtree records the (unfolded) source weights' fingerprint; loading
+    it against a different checkpoint's encoder fails loudly instead of
+    silently serving another model's encodings.  Legacy trees (no
+    fingerprint) pass with a warning — they cannot be verified."""
+    params = rn.init_resnet101(jax.random.PRNGKey(3), emb_dim=24)
+    folded = rn.fold_bn_params(params)
+    images = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    qt = q8.calibrate_and_quantize(
+        folded, [images], compute_dtype=jnp.float32, source_params=params
+    )
+    q8.verify_qtree(qt, params)  # matching weights: no raise
+    path = str(tmp_path / "enc_int8.msgpack")
+    q8.save_qtree(qt, path)
+    loaded = q8.load_qtree(path)
+    q8.verify_qtree(loaded, params)  # fingerprint survives serialization
+    other = rn.init_resnet101(jax.random.PRNGKey(4), emb_dim=24)
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        q8.verify_qtree(loaded, other)
+    # legacy tree without source_params: warns, does not raise
+    legacy = q8.calibrate_and_quantize(folded, [images], compute_dtype=jnp.float32)
+    assert "_fingerprint" not in legacy
+    q8.verify_qtree(legacy, other)
+    assert "cannot verify" in capsys.readouterr().err
+
+
 def test_qtree_save_load_roundtrip(rng, tmp_path):
     """Persisted trees (tools/quantize_encoder.py artifact flow) must encode
     bit-identically to the in-memory tree."""

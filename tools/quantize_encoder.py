@@ -67,7 +67,9 @@ def main(argv=None):
 
     print(f"calibrating on up to {args.batches} x {args.batch_size} "
           f"{args.split} images ({len(data)} available)", flush=True)
-    qtree = resnet_int8.calibrate_and_quantize(folded, batches(), dtype)
+    qtree = resnet_int8.calibrate_and_quantize(
+        folded, batches(), dtype, source_params=encoder_params
+    )
     resnet_int8.save_qtree(qtree, args.output)
     size_mb = os.path.getsize(args.output) / 1e6
     print(f"wrote {args.output} ({size_mb:.1f} MB int8 tree; bf16 encoder "
