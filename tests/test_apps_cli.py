@@ -127,9 +127,10 @@ def test_streaming_cli_flags(tmp_path):
 
 
 def test_cli_help_surfaces():
-    """Each of the 12 entry scripts parses --help (argument surface sanity)."""
+    """Each of the 15 entry scripts parses --help (argument surface sanity)."""
     for preset_dir in ("geo_aware", "knowledge_aware", "news_knowledge_aware"):
-        for script in ("create_input_files", "train", "eval", "compute_eval_metrics"):
+        for script in ("create_input_files", "train", "eval",
+                       "compute_eval_metrics", "serve"):
             result = subprocess.run(
                 [sys.executable,
                  str(REPO_ROOT / "apps" / preset_dir / f"{script}.py"), "--help"],

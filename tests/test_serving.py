@@ -394,6 +394,107 @@ def test_router_all_replicas_down_returns_503(serving_setup):
         thread.join()
 
 
+_STUB_REPLICA = '''
+import argparse, json, os
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--port", type=int, required=True)
+ap.add_argument("--host", default="127.0.0.1")
+args = ap.parse_args()
+DEVICE = os.environ.get("ICEK_SERVE_DEVICE", "?")
+count = [0]
+
+class H(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+    def _reply(self, payload):
+        body = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._reply({"ok": True})
+        else:
+            self._reply({"requests": count[0], "device": DEVICE})
+    def do_POST(self):
+        self.rfile.read(int(self.headers.get("Content-Length", "0")))
+        count[0] += 1
+        self._reply({"caption": f"from-device-{DEVICE}"})
+
+ThreadingHTTPServer((args.host, args.port), H).serve_forever()
+'''
+
+
+def _free_port_pair():
+    """A base port p such that p+1 and p+2 are currently bindable
+    (launch_replicas assigns base+1+i)."""
+    import socket
+
+    for base in range(20000, 40000, 7):
+        try:
+            socks = []
+            for off in (1, 2):
+                s = socket.socket()
+                s.bind(("127.0.0.1", base + off))
+                socks.append(s)
+            for s in socks:
+                s.close()
+            return base
+        except OSError:
+            for s in socks:
+                s.close()
+    raise RuntimeError("no free port pair")
+
+
+def test_launch_replicas_spawns_processes_and_pins_devices(tmp_path):
+    """router.launch_replicas (the serve.py --replicas body): subprocesses
+    come up on base_port+1+i with ICEK_SERVE_DEVICE=i in their env,
+    wait_for_healthy gates on them, and the router round-robins real HTTP
+    across the processes."""
+    from icek_tpu.serve import router as router_lib
+
+    stub = tmp_path / "stub_replica.py"
+    stub.write_text(_STUB_REPLICA)
+    base = _free_port_pair()
+    procs, specs = router_lib.launch_replicas([str(stub)], 2, base)
+    router = None
+    try:
+        assert specs == [f"127.0.0.1:{base + 1}", f"127.0.0.1:{base + 2}"]
+        router_lib.wait_for_healthy(specs, timeout_s=60, poll_s=0.2)
+        router = router_lib.make_router(specs, port=0)
+        rthread = _start(router)
+        addr = ("127.0.0.1", router.server_address[1])
+        got = set()
+        for _ in range(4):
+            import http.client
+
+            conn = http.client.HTTPConnection(*addr, timeout=30)
+            conn.request("POST", "/caption", body=b"x")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            got.add(json.loads(resp.read())["caption"])
+            conn.close()
+        # both replicas served, each pinned to its own device index
+        assert got == {"from-device-0", "from-device-1"}
+        with urllib.request.urlopen(
+            f"http://{addr[0]}:{addr[1]}/stats", timeout=30
+        ) as r:
+            agg = json.load(r)
+        assert agg["totals"]["requests"] == 4
+    finally:
+        if router is not None:
+            router.shutdown()
+            router.server_close()
+            rthread.join()
+        for proc in procs:
+            proc.terminate()
+        for proc in procs:
+            proc.wait(timeout=30)
+
+
 def test_engine_int8_kv_serving_mode(serving_setup):
     """cfg.decode.kv_dtype="int8" (the HBM-poor serving option) plumbs
     through the Evaluator/engine stack and still produces plausible
