@@ -166,10 +166,16 @@ class DecodeConfig:
     # None = beam_decode's measured default.
     use_megakernel: Optional[bool] = None
     # "int8" stores beam-decode KV caches + precomputed cross-attention
-    # K/V per-row-quantized (half the HBM payload; decode/beam.py).
-    # Measured SLOWER on v5e-1 (1420 vs 1572 caps/s — the scale
-    # elementwise breaks the softmax->AV fusion); serving-mode option for
-    # HBM-poorer parts / larger memories.  Not bit-parity with float.
+    # K/V per-row-quantized (half the HBM payload); "int8_cross" quantizes
+    # only the precomputed cross-attention K/V (decode/beam.py).  Round-4
+    # controlled A/B at the batch-256 beam-5 production shapes
+    # (benchmarks/int8_kv_ab.py, two independent sessions): "int8" is
+    # +7% caps/s on news (M=598, the largest cross memory: 1216 vs 1142,
+    # 1209 vs 1128), a wash on knowledge (M=548) and -9% on geo (M=64,
+    # where the scale elementwise breaks the softmax->AV fusion and the
+    # cross memory is too small to pay for it).  Default stays None
+    # (bit-parity with the float pipeline); eval.py/serve.py --kv-dtype
+    # int8 is the measured win for news serving.
     kv_dtype: Optional[str] = None
 
 

@@ -126,6 +126,70 @@ def test_streaming_cli_flags(tmp_path):
     assert np.isfinite(result.best_loss)
 
 
+def test_kv_dtype_cli_plumbs_to_evaluator(tmp_path, monkeypatch):
+    """eval.py --kv-dtype int8 reaches the Evaluator's cfg.decode.kv_dtype
+    (the deployment path for the measured news-preset int8-KV win,
+    benchmarks/int8_kv_ab.py; same flag on serve.py shares this plumbing)."""
+    import importlib.util
+
+    import jax
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu import eval_driver
+    from icek_tpu.data import input_files
+    from icek_tpu.data.codec import Wordmap
+    from icek_tpu.models import captioner, resnet
+    from icek_tpu.train import checkpoint as ckpt_lib
+
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "files"
+    cfg = tiny_cfg()
+    input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    ).run()
+    with open(out_dir / "WORDMAP_tiny_geo.json") as f:
+        wm = Wordmap(json.load(f))
+    params = captioner.init_captioner_params(
+        jax.random.PRNGKey(0), cfg.model, len(wm)
+    )
+    enc = resnet.init_resnet101(jax.random.PRNGKey(1), cfg.model.emb_dim)
+    ckpt = ckpt_lib.save_checkpoint(
+        str(tmp_path), "tiny_geo", 0, 0, 1.0, params, None, encoder_params=enc
+    )
+
+    captured = {}
+
+    class SpyEvaluator:
+        def __init__(self, spy_cfg, *a, **kw):
+            captured["cfg"] = spy_cfg
+
+        def run(self, *a, **kw):
+            captured["ran"] = True
+
+    monkeypatch.setitem(config_lib.PRESETS, "georic", tiny_cfg)
+    monkeypatch.setattr(eval_driver, "Evaluator", SpyEvaluator)
+
+    spec = importlib.util.spec_from_file_location(
+        "icek_apps_common", str(REPO_ROOT / "apps" / "common.py")
+    )
+    common = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(common)
+    common.run_eval("georic", argv=[
+        "--data-dir", str(out_dir), "--checkpoint", ckpt,
+        "--kv-dtype", "int8", "--metric-data", str(tmp_path / "absent"),
+    ])
+    assert captured["ran"]
+    assert captured["cfg"].decode.kv_dtype == "int8"
+
+    # without the flag the default stays None (bit-parity pipeline)
+    common.run_eval("georic", argv=[
+        "--data-dir", str(out_dir), "--checkpoint", ckpt,
+        "--metric-data", str(tmp_path / "absent"),
+    ])
+    assert captured["cfg"].decode.kv_dtype is None
+
+
 def test_cli_help_surfaces():
     """Each of the 15 entry scripts parses --help (argument surface sanity)."""
     for preset_dir in ("geo_aware", "knowledge_aware", "news_knowledge_aware"):
