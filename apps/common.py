@@ -224,14 +224,16 @@ def run_eval(preset: str, argv=None):
                    help="transformer geometry of the checkpoint (normally "
                         "auto-detected from its meta; only needed for "
                         "checkpoints predating geometry recording)")
-    p.add_argument("--kv-dtype", choices=["int8", "int8_cross"], default=None,
+    p.add_argument("--kv-dtype", choices=["int8", "int8_cross", "auto"],
+                   default=None,
                    help="quantize beam-decode KV caches (decode/beam.py). "
                         "Measured at batch-256 beam-5 production shapes "
                         "(benchmarks/int8_kv_ab.py, two sessions): int8 is "
                         "+7%% caps/s on the news preset (largest cross "
                         "memory, M=598), a wash on knowledge, and -9%% on "
-                        "geo — use it for news serving. NOT bit-parity "
-                        "with the float pipeline")
+                        "geo. 'auto' applies exactly that table (int8 on "
+                        "news/TPU, float elsewhere). int8 modes are NOT "
+                        "bit-parity with the float pipeline")
     p.add_argument("--cache-tokens", nargs="?", const="auto", default=None,
                    metavar="FILE",
                    help="encode the TEST split once and cache the encoder "
@@ -448,11 +450,14 @@ def run_serve(preset: str, argv=None):
                         "ICEK_SERVE_DEVICE=i pins jax's default device) "
                         "behind a round-robin router on --port "
                         "(icek_tpu/serve/router.py)")
-    p.add_argument("--kv-dtype", choices=["int8", "int8_cross"], default=None,
+    p.add_argument("--kv-dtype", choices=["int8", "int8_cross", "auto"],
+                   default=None,
                    help="quantize beam-decode KV caches (decode/beam.py): "
                         "+7%% caps/s measured on the news preset, a wash on "
                         "knowledge, -9%% on geo (benchmarks/int8_kv_ab.py); "
-                        "NOT bit-parity with the float pipeline")
+                        "'auto' applies exactly that table (int8 on news/"
+                        "TPU, float elsewhere); int8 modes are NOT "
+                        "bit-parity with the float pipeline")
     args = p.parse_args(argv)
 
     if args.kv_dtype:

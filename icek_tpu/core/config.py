@@ -175,7 +175,9 @@ class DecodeConfig:
     # where the scale elementwise breaks the softmax->AV fusion and the
     # cross memory is too small to pay for it).  Default stays None
     # (bit-parity with the float pipeline); eval.py/serve.py --kv-dtype
-    # int8 is the measured win for news serving.
+    # int8 is the measured win for news serving, and "auto" resolves to
+    # exactly that table per preset+backend (decode/beam.py
+    # resolve_kv_dtype: int8 on news/TPU, float everywhere else).
     kv_dtype: Optional[str] = None
 
 

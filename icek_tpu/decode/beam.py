@@ -296,6 +296,26 @@ def _embed_tokens_beam(
     return out
 
 
+def resolve_kv_dtype(kv_dtype, cfg: ModelConfig):
+    """Resolve ``kv_dtype="auto"`` to the measured per-preset win.
+
+    The round-4 controlled A/B (benchmarks/int8_kv_ab.py, BASELINE.md, two
+    independent sessions at batch 256 beam 5) showed the int8 KV cache is
+    shape-dependent: +7% caps/s on news (M=598 — per-step cross-attention
+    reads dominate), a wash on knowledge, and −9% on geo (the dequantize
+    scale breaks the softmax→AV fusion and M=64 is too small to pay).
+    "auto" therefore picks "int8" only for the news variant on a real TPU
+    backend and stays on the bit-parity float path everywhere else
+    (including CPU, where there is no HBM bottleneck to buy back).
+    Explicit values pass through unchanged.
+    """
+    if kv_dtype != "auto":
+        return kv_dtype
+    if jax.default_backend() == "tpu" and cfg.variant == "news":
+        return "int8"
+    return None
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -381,8 +401,11 @@ def beam_decode(
     # Only beam 0 is alive at step 0 (all beams start identical).
     log_probs = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones((B, 1))
     cache_dt = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+    kv_dtype = resolve_kv_dtype(kv_dtype, cfg)
     if kv_dtype not in (None, "int8", "int8_cross"):
-        raise ValueError(f"kv_dtype must be None/'int8'/'int8_cross', got {kv_dtype!r}")
+        raise ValueError(
+            f"kv_dtype must be None/'auto'/'int8'/'int8_cross', got {kv_dtype!r}"
+        )
     kv_int8 = kv_dtype == "int8"
     cross_int8 = kv_dtype in ("int8", "int8_cross")
     if cross_int8 and use_megakernel:

@@ -189,6 +189,14 @@ def test_kv_dtype_cli_plumbs_to_evaluator(tmp_path, monkeypatch):
     ])
     assert captured["cfg"].decode.kv_dtype is None
 
+    # --kv-dtype auto passes through; beam_decode resolves it per
+    # preset+backend at trace time (decode/beam.py resolve_kv_dtype)
+    common.run_eval("georic", argv=[
+        "--data-dir", str(out_dir), "--checkpoint", ckpt,
+        "--kv-dtype", "auto", "--metric-data", str(tmp_path / "absent"),
+    ])
+    assert captured["cfg"].decode.kv_dtype == "auto"
+
 
 def test_cli_help_surfaces():
     """Each of the 15 entry scripts parses --help (argument surface sanity)."""

@@ -160,6 +160,48 @@ def test_beam_search_improves_on_beam1(rng, variant):
     assert np.all(np.asarray(score5) >= np.asarray(score1) - 1e-4)
 
 
+def test_kv_dtype_auto_resolution(rng, monkeypatch):
+    """kv_dtype="auto" applies the measured per-preset table (BASELINE.md
+    round-4 int8-KV A/B): int8 only for the news variant on a TPU backend,
+    the bit-parity float path everywhere else — and on CPU, beam_decode
+    under "auto" is bit-identical to the default pipeline."""
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.decode import beam
+    from icek_tpu.models import captioner
+
+    geo_m = config_lib.georic().model
+    knowledge_m = config_lib.k_georic().model
+    news_m = config_lib.nytimes800k().model
+    # explicit values pass through untouched
+    assert beam.resolve_kv_dtype(None, news_m) is None
+    assert beam.resolve_kv_dtype("int8", geo_m) == "int8"
+    assert beam.resolve_kv_dtype("int8_cross", news_m) == "int8_cross"
+    # this suite runs on CPU: auto stays on the bit-parity float path
+    assert beam.resolve_kv_dtype("auto", news_m) is None
+    monkeypatch.setattr(beam.jax, "default_backend", lambda: "tpu")
+    assert beam.resolve_kv_dtype("auto", news_m) == "int8"
+    assert beam.resolve_kv_dtype("auto", geo_m) is None
+    assert beam.resolve_kv_dtype("auto", knowledge_m) is None
+    monkeypatch.undo()
+
+    wm = _toy_wordmap()
+    V = len(wm)
+    cfg = small_cfg("geo")
+    E, max_len, B = 7, 8, 2
+    params = captioner.init_captioner_params(jax.random.PRNGKey(0), cfg, V)
+    img = rng.standard_normal((B, 4, D)).astype(np.float32)
+    ents = _geo_entities(rng, B, E)
+    ctx = greedy.prepare_decode_context(
+        params, cfg, jnp.asarray(img), jnp.asarray(ents), None
+    )
+    args = (params, cfg, V, E, wm["<start>"], wm["<end>"], wm["<pad>"],
+            ctx, max_len)
+    t_def, s_def = beam.beam_decode(*args, beam_size=3)
+    t_auto, s_auto = beam.beam_decode(*args, beam_size=3, kv_dtype="auto")
+    assert np.array_equal(np.asarray(t_def), np.asarray(t_auto))
+    assert np.allclose(np.asarray(s_def), np.asarray(s_auto))
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_greedy_matches_reference_predict_news(rng, seed):
     """News variant: article features + name-embedding entity encoder."""
