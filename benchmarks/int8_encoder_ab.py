@@ -16,6 +16,11 @@ with its quality cost attached.
 
 Usage: python benchmarks/int8_encoder_ab.py [--batch 256] [--beam 5]
                                             [--iters 8] [--preset georic]
+                                            [--kv-dtype int8]
+
+--kv-dtype applies the int8 KV cache (decode/beam.py) to the int8-encoder
+variant only, measuring the combined "fast stack" against the stock bf16
+pipeline (e.g. news serving: int8 encoder + int8 KV vs bf16+float).
 """
 
 import argparse
@@ -50,6 +55,9 @@ def main():
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--calib-batches", type=int, default=2)
+    ap.add_argument("--kv-dtype", default=None,
+                    help="int8/int8_cross KV caches on the int8-encoder "
+                         "variant (combined fast-stack A/B)")
     args = ap.parse_args()
 
     cfg = config_lib.get_config(args.preset)
@@ -85,7 +93,7 @@ def main():
         source_params=encoder_params,
     )
 
-    def make(encode):
+    def make(encode, kv_dtype=None):
         @jax.jit
         def pipeline(images):
             tokens = encode(images)
@@ -97,6 +105,7 @@ def main():
                 params, cfg.model, len(wm), E, wm.start_id, wm.end_id,
                 wm.pad_id, ctx, cfg.decode.max_caption_len,
                 beam_size=args.beam, compute_dtype=compute_dtype,
+                kv_dtype=kv_dtype,
             )
             return decoded
 
@@ -110,7 +119,7 @@ def main():
         "int8": make(lambda imgs: resnet_int8.resnet_encode_int8(
             qtree, imgs, cfg.model.encoded_image_size,
             compute_dtype=compute_dtype,
-        )),
+        ), kv_dtype=args.kv_dtype),
     }
     outs = {}
     for name, fn in pipelines.items():
