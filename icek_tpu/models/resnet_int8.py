@@ -92,15 +92,25 @@ def _scale(x) -> jnp.ndarray:
 # Calibration
 # --------------------------------------------------------------------------
 
-def observe(folded, images: jnp.ndarray, compute_dtype=jnp.bfloat16) -> Dict:
+def observe(folded, images: jnp.ndarray, compute_dtype=jnp.bfloat16,
+            per_image: bool = False) -> Dict:
     """One folded forward pass recording the max at every requantization
     point.  Returns a pytree of f32 scalars with the same keying the
     quantized tree uses; jit-safe (call under jit for speed, then take the
     elementwise running max across batches on the host or with jnp.maximum).
 
+    ``per_image=True`` reduces over the spatial/channel axes only, returning
+    (B,) per-image maxima per site — the input for percentile calibration
+    (:func:`calibrate` mode="percentile").
+
     Layout: {"a_img", "a_stem", "layer{1..4}": [{"a1","a2","a_out"}, ...]}.
     """
-    obs: Dict = {"a_img": jnp.max(jnp.abs(images)).astype(jnp.float32)}
+    axes = (1, 2, 3) if per_image else None
+
+    def mx(t):
+        return jnp.max(t, axis=axes).astype(jnp.float32)
+
+    obs: Dict = {"a_img": mx(jnp.abs(images))}
 
     def cb(block, name, y, s=1):
         return resnet.conv(y, block[name], s, compute_dtype) + block[
@@ -111,7 +121,7 @@ def observe(folded, images: jnp.ndarray, compute_dtype=jnp.bfloat16) -> Dict:
         "b1"
     ].astype(compute_dtype)
     x = jax.nn.relu(x)
-    obs["a_stem"] = jnp.max(x).astype(jnp.float32)
+    obs["a_stem"] = mx(x)
     x = resnet.max_pool_3x3_s2(x)
     for stage in range(1, 5):
         stage_obs: List[Dict] = []
@@ -119,26 +129,28 @@ def observe(folded, images: jnp.ndarray, compute_dtype=jnp.bfloat16) -> Dict:
             stride = 2 if (stage > 1 and b == 0) else 1
             o: Dict = {}
             out = jax.nn.relu(cb(block, "conv1", x))
-            o["a1"] = jnp.max(out).astype(jnp.float32)
+            o["a1"] = mx(out)
             out = jax.nn.relu(cb(block, "conv2", out, stride))
-            o["a2"] = jnp.max(out).astype(jnp.float32)
+            o["a2"] = mx(out)
             out = cb(block, "conv3", out)
             if "down_conv" in block:
                 shortcut = cb(block, "down_conv", x, stride)
             else:
                 shortcut = x.astype(out.dtype)
             x = jax.nn.relu(out + shortcut)
-            o["a_out"] = jnp.max(x).astype(jnp.float32)
+            o["a_out"] = mx(x)
             stage_obs.append(o)
         obs[f"layer{stage}"] = stage_obs
     return obs
 
 
 def calibrate(folded, batches: Iterable[jnp.ndarray],
-              compute_dtype=jnp.bfloat16) -> Dict:
-    """Running elementwise max of :func:`observe` over calibration batches
-    (normalized NHWC float images).  Returns the observation pytree.
+              compute_dtype=jnp.bfloat16,
+              mode: str = "max", percentile: float = 99.5) -> Dict:
+    """Activation-scale observation over calibration batches (normalized
+    NHWC float images).  Returns the observation pytree.
 
+    mode="max" (default): running elementwise max of :func:`observe`.
     SENSITIVITY: a pure running max has no outlier rejection — a single
     extreme activation anywhere in the calibration stream permanently
     inflates that tensor's per-tensor scale and crushes quantization
@@ -146,15 +158,43 @@ def calibrate(folded, batches: Iterable[jnp.ndarray],
     batches from the distribution you will serve (and NOT on the split
     whose metrics you report — tools/quantize_encoder.py --split), and
     sanity-check quality (cosine vs the float encoder on held-out images)
-    before deploying a tree."""
-    run = jax.jit(lambda imgs: observe(folded, imgs, compute_dtype))
-    acc = None
-    for images in batches:
-        o = run(images)
-        acc = o if acc is None else jax.tree.map(jnp.maximum, acc, o)
-    if acc is None:
+    before deploying a tree.
+
+    mode="percentile": per-site ``percentile`` (default 99.5) over the
+    PER-IMAGE maxima across all calibration images — one anomalous image
+    no longer owns every scale (it is outvoted at the percentile), at the
+    cost of clipping the true activation range of the top
+    (100-percentile)% images.  Note the rejection unit is the image: an
+    extreme single pixel inside an otherwise typical image still sets
+    that image's per-image max.  Requires enough calibration images for
+    the percentile to bind (with fewer than ~1/(100-percentile)*100
+    images it degenerates to the max)."""
+    if mode not in ("max", "percentile"):
+        raise ValueError(f"mode must be 'max'/'percentile', got {mode!r}")
+    per_image = mode == "percentile"
+    run = jax.jit(
+        lambda imgs: observe(folded, imgs, compute_dtype, per_image=per_image)
+    )
+    if mode == "max":
+        acc = None
+        for images in batches:
+            o = run(images)
+            acc = o if acc is None else jax.tree.map(jnp.maximum, acc, o)
+        if acc is None:
+            raise ValueError("calibrate() needs at least one batch")
+        return jax.device_get(acc)
+    collected = [jax.device_get(run(images)) for images in batches]
+    if not collected:
         raise ValueError("calibrate() needs at least one batch")
-    return jax.device_get(acc)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda *xs: np.float32(
+            np.percentile(np.concatenate([np.atleast_1d(x) for x in xs]),
+                          percentile)
+        ),
+        *collected,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -255,9 +295,15 @@ def verify_qtree(qtree: Dict, encoder_params,
 
 def calibrate_and_quantize(folded, batches: Iterable[jnp.ndarray],
                            compute_dtype=jnp.bfloat16,
-                           source_params=None) -> Dict:
-    return quantize(folded, calibrate(folded, batches, compute_dtype),
-                    source_params=source_params)
+                           source_params=None,
+                           mode: str = "max",
+                           percentile: float = 99.5) -> Dict:
+    return quantize(
+        folded,
+        calibrate(folded, batches, compute_dtype, mode=mode,
+                  percentile=percentile),
+        source_params=source_params,
+    )
 
 
 def save_qtree(qtree: Dict, path: str) -> None:

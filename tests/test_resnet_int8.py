@@ -110,6 +110,67 @@ def test_observe_calibrate_running_max(rng):
         np.testing.assert_allclose(g, w, rtol=1e-6)
 
 
+def test_observe_per_image_matches_scalar(rng):
+    """per_image=True returns (B,) per-image maxima whose max equals the
+    scalar observation (same forward, finer reduction)."""
+    folded = _small_folded(rng)
+    images = jnp.asarray(rng.standard_normal((3, 64, 64, 3)).astype(np.float32))
+    scalar = jax.device_get(q8.observe(folded, images, jnp.float32))
+    per_img = jax.device_get(
+        q8.observe(folded, images, jnp.float32, per_image=True)
+    )
+    for s, p in zip(jax.tree.leaves(scalar), jax.tree.leaves(per_img)):
+        assert p.shape == (3,)
+        np.testing.assert_allclose(np.max(p), s, rtol=1e-6)
+
+
+def test_calibrate_percentile_rejects_outlier_image(rng):
+    """mode="percentile" outvotes a single anomalous calibration image that
+    would own every scale under the running max (the documented running-max
+    sensitivity, now with an in-library mitigation)."""
+    folded = _small_folded(rng)
+    clean = rng.standard_normal((15, 64, 64, 3)).astype(np.float32)
+    outlier = np.concatenate(
+        [clean[:1] * 100.0, clean[1:]], axis=0
+    )  # image 0 is 100x hotter
+    batches = [jnp.asarray(outlier[i:i + 5]) for i in range(0, 15, 5)]
+    obs_max = q8.calibrate(folded, batches, jnp.float32)
+    obs_pct = q8.calibrate(folded, batches, jnp.float32,
+                           mode="percentile", percentile=90.0)
+    obs_clean = q8.calibrate(
+        folded, [jnp.asarray(clean[i:i + 5]) for i in range(0, 15, 5)],
+        jnp.float32,
+    )
+    # running max: the outlier owns the image scale (~100x the clean max)
+    assert float(obs_max["a_img"]) > 50 * float(obs_clean["a_img"])
+    # 90th percentile of 15 per-image maxima: the one outlier is outvoted
+    assert float(obs_pct["a_img"]) < 2 * float(obs_clean["a_img"])
+    # and every site's percentile scale is <= the running max
+    for p, m in zip(jax.tree.leaves(obs_pct), jax.tree.leaves(obs_max)):
+        assert float(p) <= float(m) + 1e-6
+
+    # quantized quality on the CLEAN distribution: percentile calibration
+    # must track the float encode at least as well as the inflated-max tree
+    probe = jnp.asarray(clean[1:3])
+    want = np.asarray(
+        rn.resnet_encode_folded(folded, probe, encoded_size=2,
+                                compute_dtype=jnp.float32)
+    )
+
+    def min_cos(obs):
+        qt = q8.quantize(folded, obs)
+        got = np.asarray(
+            q8.resnet_encode_int8(qt, probe, encoded_size=2,
+                                  compute_dtype=jnp.float32)
+        )
+        num = np.sum(got * want, axis=-1)
+        den = np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+        return float(np.min(num / (den + 1e-12)))
+
+    assert min_cos(obs_pct) >= min_cos(obs_max) - 1e-6
+    assert min_cos(obs_pct) > 0.9
+
+
 def test_quantize_tree_epilogue_scales(rng):
     folded = _small_folded(rng)
     images = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))

@@ -34,6 +34,16 @@ def main(argv=None):
                         "you report)")
     p.add_argument("--batches", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--calib-mode", default="max",
+                   choices=["max", "percentile"],
+                   help="activation-scale statistic: 'max' (running max — "
+                        "exact range, but one outlier image inflates the "
+                        "scale for everyone) or 'percentile' (percentile "
+                        "over per-image maxima — outlier images are "
+                        "outvoted; needs enough images for the percentile "
+                        "to bind)")
+    p.add_argument("--percentile", type=float, default=99.5,
+                   help="percentile for --calib-mode percentile")
     p.add_argument("--output", required=True, help="output .msgpack path")
     args = p.parse_args(argv)
 
@@ -68,7 +78,8 @@ def main(argv=None):
     print(f"calibrating on up to {args.batches} x {args.batch_size} "
           f"{args.split} images ({len(data)} available)", flush=True)
     qtree = resnet_int8.calibrate_and_quantize(
-        folded, batches(), dtype, source_params=encoder_params
+        folded, batches(), dtype, source_params=encoder_params,
+        mode=args.calib_mode, percentile=args.percentile,
     )
     resnet_int8.save_qtree(qtree, args.output)
     size_mb = os.path.getsize(args.output) / 1e6
