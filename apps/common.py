@@ -139,6 +139,14 @@ def run_train(preset: str, argv=None):
     p.add_argument("--streaming", action="store_true",
                    help="stream batches from the HDF5 sidecar store "
                         "(constant host memory; NYTimes800k scale)")
+    p.add_argument("--grad-accum", type=int, default=None, metavar="N",
+                   help="split each batch into N sequential microbatches "
+                        "inside the jitted step, accumulating gradients "
+                        "in-graph before the single optimizer update — "
+                        "exact full-batch-mean semantics, ~1/N peak "
+                        "activation memory (large effective batches / "
+                        "image-carrying fine-tune on one chip). "
+                        "Incompatible with TrainConfig.bn_train_mode")
     p.add_argument("--geometry", default=None, metavar="DxH",
                    help="from-scratch transformer geometry "
                         "'<emb_dim>x<num_heads>' (e.g. 256x8 — measured "
@@ -165,6 +173,9 @@ def run_train(preset: str, argv=None):
 
     if args.streaming:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, streaming=True))
+    if args.grad_accum:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, grad_accum_steps=args.grad_accum))
     wm = load_wordmap(args.data_dir, cfg.data.base_name)
     pretrained = None
     if args.glove:

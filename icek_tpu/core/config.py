@@ -126,6 +126,19 @@ class TrainConfig:
     # attention kernel eliminated for attention-weight dropout).  None =
     # auto: on for TPU backends, off on CPU.
     use_rbg_dropout: Optional[bool] = None
+    # Split each global batch into this many sequential microbatches INSIDE
+    # the jitted step (lax.scan), accumulating gradients in-graph and
+    # applying ONE optimizer update per batch.  Semantics are exact, not
+    # approximate: the update equals the full-batch gradient of
+    # (summed NLL / total token count), so results are invariant to the
+    # split up to float associativity and per-microbatch dropout draws
+    # (tests/test_grad_accum.py pins equality at dropout 0).  Peak
+    # activation memory scales ~1/N — the lever for large effective
+    # batches, or image-carrying fine-tune steps, on one chip.  Batches
+    # not divisible by N are zero-padded in-graph (padded rows carry zero
+    # valid tokens and contribute nothing).  Incompatible with
+    # bn_train_mode (batch statistics are defined over the full batch).
+    grad_accum_steps: int = 1
     # When the train split's cached image tokens fit in this budget, keep
     # the WHOLE cache in device HBM and ship only int32 row ids per batch —
     # the (B, 196, D) gather happens in-graph, so the dominant data stream

@@ -139,6 +139,18 @@ def _token_nll_bwd(res, g):
 _token_nll.defvjp(_token_nll_fwd, _token_nll_bwd)
 
 
+def caption_loss_total(scores, caption_ids, caption_lengths, pad_id):
+    """Summed masked NLL and its token count — the linear form whose
+    per-microbatch gradients ADD, used by gradient accumulation."""
+    targets = caption_ids[:, 1:]                           # predict next token
+    logits = scores[:, : targets.shape[1]]
+    T = targets.shape[1]
+    valid = jnp.arange(T)[None, :] < (caption_lengths[:, None] - 1)
+    valid = valid & (targets != pad_id)
+    nll = _token_nll(logits, targets, valid)
+    return jnp.sum(nll), jnp.sum(valid)
+
+
 def caption_loss(scores, caption_ids, caption_lengths, pad_id):
     """Masked mean cross-entropy over teacher-forced positions.
 
@@ -148,14 +160,9 @@ def caption_loss(scores, caption_ids, caption_lengths, pad_id):
     CrossEntropyLoss(ignore_index=<pad>) is what actually excludes the
     padding there.
     """
-    targets = caption_ids[:, 1:]                           # predict next token
-    logits = scores[:, : targets.shape[1]]
-    T = targets.shape[1]
-    valid = jnp.arange(T)[None, :] < (caption_lengths[:, None] - 1)
-    valid = valid & (targets != pad_id)
-    nll = _token_nll(logits, targets, valid)
-    total = jnp.sum(nll)
-    count = jnp.sum(valid)
+    total, count = caption_loss_total(
+        scores, caption_ids, caption_lengths, pad_id
+    )
     return total / jnp.maximum(count, 1), count
 
 
@@ -261,7 +268,10 @@ def make_train_step(
             train=False, compute_dtype=compute_dtype,
         ), None
 
-    def loss_fn(params, encoder_params, batch, rng):
+    def forward_total(params, encoder_params, batch, rng):
+        """(summed NLL, token count, updated encoder stats) for one batch —
+        the linear-in-batch form shared by the mean loss and by gradient
+        accumulation (microbatch gradients of the SUM add exactly)."""
         if rbg:
             rng = to_rbg_key(rng)
         tokens, new_enc = image_tokens(encoder_params, batch)
@@ -281,10 +291,14 @@ def make_train_step(
             # f32 (parity) passes are unchanged.
             score_dtype=compute_dtype,
         )
-        loss, count = caption_loss(
+        total, count = caption_loss_total(
             scores, batch["caption_ids"], batch["lengths"], pad_id
         )
-        return loss, (count, new_enc)
+        return total, count, new_enc
+
+    def loss_fn(params, encoder_params, batch, rng):
+        total, count, new_enc = forward_total(params, encoder_params, batch, rng)
+        return total / jnp.maximum(count, 1), (count, new_enc)
 
     def merge_stats(encoder_params, new_enc):
         """Overwrite only the BN mean/var leaves with the train-mode stats."""
@@ -295,7 +309,79 @@ def make_train_step(
             encoder_params, new_enc,
         )
 
-    if fine_tune:
+    accum = getattr(cfg.train, "grad_accum_steps", 1) or 1
+    if accum > 1 and bn_train_mode:
+        raise ValueError(
+            "grad_accum_steps > 1 is incompatible with bn_train_mode: "
+            "batch-norm batch statistics are defined over the full batch"
+        )
+
+    def _microbatches(batch, rng):
+        """Zero-pad the batch to a multiple of `accum` (padded rows carry
+        zero valid tokens — _token_nll masks them out of both the loss and
+        its gradient) and stack every array to (accum, B/accum, ...); the
+        pad amount is resolved from the concrete shape at trace time.
+        Returns (stacked batch, one dropout key per microbatch)."""
+        B = next(iter(batch.values())).shape[0]
+        pad = (-B) % accum
+        micro = {}
+        for k, v in batch.items():
+            if pad:
+                v = jnp.pad(v, [(0, pad)] + [(0, 0)] * (v.ndim - 1))
+            micro[k] = v.reshape((accum, (B + pad) // accum) + v.shape[1:])
+        return micro, jax.random.split(rng, accum)
+
+    def accum_grads(params, encoder_params, batch, rng, *, wrt_encoder):
+        """In-graph gradient accumulation: scan the microbatches, summing
+        gradients of the SUMMED NLL (which add exactly across microbatches),
+        then scale once by 1/total_tokens — identical to the full-batch
+        mean-loss gradient up to float associativity.  Peak activation
+        memory is one microbatch's."""
+        argnums = (0, 1) if wrt_encoder else 0
+
+        def total_fn(p, ep, mb, k):
+            total, count, _ = forward_total(p, ep, mb, k)
+            return total, count
+
+        def body(carry, xs):
+            g_acc, tot_acc, cnt_acc = carry
+            mb, k = xs
+            (tot, cnt), g = jax.value_and_grad(
+                total_fn, argnums=argnums, has_aux=True
+            )(params, encoder_params, mb, k)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, tot_acc + tot, cnt_acc + cnt), None
+
+        micro, keys = _microbatches(batch, rng)
+        shapes = (params, encoder_params) if wrt_encoder else params
+        zeros = jax.tree.map(jnp.zeros_like, shapes)
+        (grads, total, count), _ = jax.lax.scan(
+            body,
+            (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+            (micro, keys),
+        )
+        inv = 1.0 / jnp.maximum(count, 1).astype(jnp.float32)
+        grads = jax.tree.map(lambda g: (g * inv).astype(g.dtype), grads)
+        return total * inv, count, grads
+
+    if fine_tune and accum > 1:
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def train_step_ft_accum(params, opt_state, encoder_params,
+                                enc_opt_state, batch, rng):
+            loss, count, (grads, enc_grads) = accum_grads(
+                params, encoder_params, batch, rng, wrt_encoder=True
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            enc_updates, enc_opt_state = encoder_optimizer.update(
+                enc_grads, enc_opt_state, encoder_params
+            )
+            encoder_params = optax.apply_updates(encoder_params, enc_updates)
+            return params, opt_state, encoder_params, enc_opt_state, loss, count
+
+        train_step = train_step_ft_accum
+    elif fine_tune:
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def train_step_ft(params, opt_state, encoder_params, enc_opt_state,
@@ -327,6 +413,18 @@ def make_train_step(
             return params, opt_state, encoder_params, loss, count
 
         train_step = train_step_bn
+    elif accum > 1:
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step_accum(params, opt_state, encoder_params, batch, rng):
+            loss, count, grads = accum_grads(
+                params, encoder_params, batch, rng, wrt_encoder=False
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, count
+
+        train_step = train_step_accum
     else:
 
         @partial(jax.jit, donate_argnums=(0, 1))
