@@ -63,6 +63,10 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic",
         cfg = config_lib.apply_geometry(cfg, geom)
     flat_env = os.environ.get("ICEK_FLAT")  # A/B: flattened clip+Adam
     flat = None if flat_env is None else flat_env == "1"
+    accum_env = os.environ.get("ICEK_ACCUM")  # A/B: in-graph grad accumulation
+    if accum_env:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, grad_accum_steps=int(accum_env)))
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     rng = np.random.default_rng(0)
     params = captioner.init_captioner_params(jax.random.PRNGKey(0), cfg.model, VOCAB)
@@ -127,6 +131,7 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic",
             "geometry": f"{cfg.model.emb_dim}x{cfg.model.num_heads}",
             "rbg_dropout": step_lib.resolve_rbg_dropout(cfg.train.use_rbg_dropout),
             "flat_optimizer": step_lib.resolve_flat_optimizer(flat),
+            "grad_accum": cfg.train.grad_accum_steps,
             "step_ms": round(best * 1000, 2),
             "samples_per_sec": round(batch / best, 1)}
 
@@ -146,7 +151,15 @@ def measure_finetune(batch=16, iters=20, bn_train_mode=False):
     from icek_tpu.models import captioner, resnet
     from icek_tpu.train import step as step_lib
 
+    import dataclasses
+
     cfg = config_lib.georic()
+    accum_env = os.environ.get("ICEK_ACCUM")  # memory lever: the ResNet
+    # fwd+bwd activations dominate fine-tune HBM; accumulation scales the
+    # peak by ~1/N at the same optimizer semantics.
+    if accum_env:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, grad_accum_steps=int(accum_env)))
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     rng = np.random.default_rng(0)
     params = captioner.init_captioner_params(jax.random.PRNGKey(0), cfg.model, VOCAB)
@@ -189,10 +202,18 @@ def measure_finetune(batch=16, iters=20, bn_train_mode=False):
             params, opt_state, encoder_params, enc_opt_state, loss = out[:5]
         float(loss)
         best = min(best, (time.perf_counter() - t0) / iters)
-    return {"backend": jax.default_backend(), "batch": batch,
-            "bn_train_mode": bn_train_mode,
-            "step_ms": round(best * 1000, 2),
-            "samples_per_sec": round(batch / best, 1)}
+    result = {"backend": jax.default_backend(), "batch": batch,
+              "bn_train_mode": bn_train_mode,
+              "grad_accum": cfg.train.grad_accum_steps,
+              "step_ms": round(best * 1000, 2),
+              "samples_per_sec": round(batch / best, 1)}
+    try:  # peak HBM — the number grad accumulation exists to move
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("peak_bytes_in_use"):
+            result["peak_hbm_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
+    return result
 
 
 def measure_reference(batch=4, iters=5):

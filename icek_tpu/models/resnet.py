@@ -354,7 +354,11 @@ def import_torch_state(state: dict, emb_dim: int = 300):
 
     def get(name):
         arr = state[name]
-        return jnp.asarray(np.asarray(arr))
+        # np.array (copy), not np.asarray: on the CPU backend jnp.asarray
+        # can alias the numpy view of a live torch tensor, so later
+        # in-place torch mutations would silently change the imported tree
+        # (see train/port.py::_np).
+        return jnp.asarray(np.array(arr))
 
     def conv_w(name):
         return jnp.transpose(get(name), (2, 3, 1, 0))  # OIHW -> HWIO

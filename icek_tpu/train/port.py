@@ -19,7 +19,13 @@ from icek_tpu.models import resnet
 
 
 def _np(x):
-    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+    x = x.detach().cpu().numpy() if hasattr(x, "detach") else x
+    # Always copy: on the CPU backend jnp.asarray can ALIAS the numpy view
+    # of a live torch tensor, so a later in-place mutation of the source
+    # model (e.g. an optimizer step) would silently change the "imported"
+    # JAX tree.  Caught by test_training_trajectory_parity, where the torch
+    # reference keeps training after the import.
+    return np.array(x)
 
 
 def _linear(state, prefix):

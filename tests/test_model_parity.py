@@ -488,3 +488,220 @@ def test_reference_pth_tar_checkpoint_port(tmp_path, rng):
         sys.modules.pop("models", None)
         if saved_models is not None:
             sys.modules["models"] = saved_models
+
+
+# ---------------------------------------------------------------------------
+# training parity: gradients and the clip+Adam trajectory vs the reference
+# ---------------------------------------------------------------------------
+
+
+def _build_reference_pair(variant, rng):
+    """Reference DecoderTransformer (dropout 0) + imported icek params and a
+    synthetic batch — the shared setup of the forward-parity test."""
+    subproject = {
+        "geo": "geo-aware",
+        "knowledge": "knowledge-aware",
+        "news": "news-knowledge-aware",
+    }[variant]
+    ref_models, ref_utils = reference_subproject(subproject)
+    torch_seed(7)
+    wm = _toy_wordmap()
+    V = len(wm)
+    cfg = small_cfg(variant)
+    B, T, E, F, P = 3, 9, 7, 6, cfg.num_predicates
+
+    ref = ref_models.DecoderTransformer(
+        word_map=wm, emb_dim=D, decoder_dim=FFN, encoder_dim=FFN,
+        num_heads=HEADS, num_layers=LAYERS,
+        dropout_dec=0.0, dropout_enc=0.0, dropout_pos=0.0,
+    )
+    ref.entity_encoder.type_embedding = nn.Embedding(cfg.type_vocab, cfg.type_emb_dim)
+    if variant != "geo":
+        ref.num_predicates = P
+        ref.predicate_embedding = nn.Embedding(P, D)
+        ref.fact_encoder.predicate_embedding = ref.predicate_embedding
+        ref.fc_predicate = nn.Linear(P, D)
+    params = port.import_captioner_state(ref.state_dict(), cfg)
+
+    img = rng.standard_normal((B, 4, D)).astype(np.float32)
+    ents = _geo_entities(rng, B, E)
+    if variant == "news":
+        name_ids = rng.integers(0, V, (B, E, 5)).astype(np.float32)
+        ents = np.concatenate([ents, name_ids], axis=-1)
+    caps, cap_mask = _captions(rng, wm, B, T, E, F if variant != "geo" else 0)
+    lengths = np.array([T, T - 1, T - 2])  # distinct, descending: sort is identity
+    facts = _facts(rng, B, F, E, P) if variant != "geo" else None
+    batch = dict(caps=caps, cap_mask=cap_mask, lengths=lengths, img=img,
+                 ents=ents, facts=facts)
+    return ref, ref_utils, params, cfg, V, wm, batch
+
+
+def _reference_loss(ref, wm, batch):
+    """One reference train-iteration forward+loss (train.py:268-283: forward,
+    drop <start>, pack_padded over decode_lengths, CrossEntropyLoss with
+    ignore_index=<pad>, train.py:136)."""
+    import torch as _torch
+    from torch.nn.utils.rnn import pack_padded_sequence
+
+    args = [
+        _torch.tensor(batch["caps"]),
+        _torch.tensor(batch["img"]).permute(0, 2, 1),
+        _torch.tensor(batch["cap_mask"]),
+        _torch.tensor(batch["lengths"][:, None]),
+        _torch.tensor(batch["ents"]),
+    ]
+    if batch["facts"] is not None:
+        args.append(_torch.tensor(batch["facts"].astype(np.int64)))
+    scores, caps_sorted, decode_lengths = ref(*args)
+    targets = caps_sorted[:, 1:]
+    packed_s = pack_padded_sequence(scores, decode_lengths, batch_first=True).data
+    packed_t = pack_padded_sequence(targets, decode_lengths, batch_first=True).data
+    return nn.CrossEntropyLoss(ignore_index=wm["<pad>"])(packed_s, packed_t)
+
+
+@pytest.mark.parametrize("variant", ["geo", "knowledge", "news"])
+def test_training_gradient_parity(rng, variant):
+    """d(loss)/d(weights) matches torch autograd through the WHOLE model:
+    the torch .grad tensors, mapped through the same state_dict importer as
+    the weights, must equal jax.grad of our mean caption loss.  This pins
+    the backward semantics (including the _token_nll custom VJP and the
+    masked loss) against the reference's autodiff, leaf for leaf."""
+    from icek_tpu.train.step import caption_loss
+
+    ref, _, params, cfg, V, wm, batch = _build_reference_pair(variant, rng)
+    ref.train()
+
+    loss_t = _reference_loss(ref, wm, batch)
+    loss_t.backward()
+    # map grads by tensor identity so weight-tied state_dict entries (the
+    # fact encoder shares predicate_embedding) resolve to the shared grad
+    id_to_grad = {
+        id(p): (p.grad if p.grad is not None else torch.zeros_like(p))
+        for _, p in ref.named_parameters()
+    }
+    grad_state = {
+        k: id_to_grad.get(id(t), torch.zeros_like(t))
+        for k, t in ref.state_dict(keep_vars=True).items()
+    }
+    want = port.import_captioner_state(
+        {k: v.detach().numpy() for k, v in grad_state.items()}, cfg
+    )
+
+    def loss_fn(p):
+        scores = cap.captioner_forward(
+            p, cfg, V, wm["<pad>"],
+            jnp.asarray(batch["caps"]), jnp.asarray(batch["cap_mask"]),
+            jnp.asarray(batch["img"]), jnp.asarray(batch["ents"]),
+            jnp.asarray(batch["facts"]) if batch["facts"] is not None else None,
+        )
+        loss, _ = caption_loss(
+            scores, jnp.asarray(batch["caps"]),
+            jnp.asarray(batch["lengths"]), wm["<pad>"],
+        )
+        return loss
+
+    loss_j, got = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    flat_want, tree_want = jax.tree_util.tree_flatten_with_path(want)
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    assert tree_want == jax.tree_util.tree_structure(got)
+    for path, w in flat_want:
+        g = flat_got[path]
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+@pytest.mark.parametrize("variant", ["geo", "knowledge"])
+def test_training_trajectory_parity(rng, variant):
+    """Four full reference train iterations (forward -> mean CE -> backward
+    -> clip_gradient clamp (utils.py:75-85) -> Adam(lr) step,
+    train.py:268-293) vs four icek train_step calls from the same imported
+    weights and batches: the per-step losses must track."""
+    import dataclasses
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.train import step as step_lib
+
+    ref, ref_utils, params, cfg, V, wm, batch0 = _build_reference_pair(variant, rng)
+    ref.train()
+    lr, clip = 4e-4, 5.0
+
+    # distinct batches per step: fresh captions/images, same shapes
+    batches = [batch0]
+    for _ in range(3):
+        b = dict(batch0)
+        B, T, E = 3, 9, 7
+        caps, cap_mask = _captions(
+            rng, wm, B, T, E, 6 if variant != "geo" else 0
+        )
+        b["caps"], b["cap_mask"] = caps, cap_mask
+        b["img"] = rng.standard_normal((B, 4, D)).astype(np.float32)
+        batches.append(b)
+
+    opt_t = torch.optim.Adam(
+        filter(lambda p: p.requires_grad, ref.parameters()), lr=lr
+    )
+    losses_t = []
+    for b in batches:
+        loss = _reference_loss(ref, wm, b)
+        opt_t.zero_grad()
+        loss.backward()
+        ref_utils.clip_gradient(opt_t, clip)
+        opt_t.step()
+        losses_t.append(float(loss))
+
+    full = config_lib.georic() if variant == "geo" else config_lib.k_georic()
+    full = full.replace(
+        model=cfg,
+        train=dataclasses.replace(full.train, use_rbg_dropout=False),
+    )
+    optimizer = step_lib.make_optimizer(lr, clip)
+    opt_state = optimizer.init(params)
+    train_step, _ = step_lib.make_train_step(
+        full, V, wm["<pad>"], optimizer, encode_images=False
+    )
+    losses_j = []
+    for b in batches:
+        jb = {
+            "caption_ids": jnp.asarray(b["caps"].astype(np.int32)),
+            "caption_mask": jnp.asarray(b["cap_mask"].astype(np.int32)),
+            "lengths": jnp.asarray(b["lengths"].astype(np.int32)),
+            "entity_features": jnp.asarray(b["ents"]),
+            "image_tokens": jnp.asarray(b["img"]),
+        }
+        if b["facts"] is not None:
+            jb["fact_features"] = jnp.asarray(b["facts"])
+        params, opt_state, loss, _ = train_step(
+            params, opt_state, None, jb, jax.random.PRNGKey(0)
+        )
+        losses_j.append(float(loss))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-4)
+
+
+def test_optimizer_clip_matches_reference_clamp():
+    """make_optimizer's clip stage is the reference's PER-ELEMENT clamp
+    (utils.py:75-85), not a norm clip: elements beyond +-clip saturate,
+    others pass through, before the same Adam update torch takes."""
+    from icek_tpu.train.step import make_optimizer
+
+    lr, clip = 1e-2, 5.0
+    w = np.array([0.5, -1.0, 2.0], np.float32)
+    g = np.array([7.0, -12.0, 3.0], np.float32)  # two elements beyond clip
+
+    p_t = torch.nn.Parameter(torch.tensor(w))
+    opt_t = torch.optim.Adam([p_t], lr=lr)
+    p_t.grad = torch.tensor(g)
+    for group in opt_t.param_groups:  # utils.clip_gradient
+        for param in group["params"]:
+            param.grad.data.clamp_(-clip, clip)
+    opt_t.step()
+
+    optimizer = make_optimizer(lr, clip)
+    params = {"w": jnp.asarray(w)}
+    state = optimizer.init(params)
+    updates, _ = optimizer.update({"w": jnp.asarray(g)}, state, params)
+    got = np.asarray(params["w"] + updates["w"])
+    np.testing.assert_allclose(got, p_t.detach().numpy(), atol=1e-7)
