@@ -139,13 +139,20 @@ def run_train(preset: str, argv=None):
     p.add_argument("--streaming", action="store_true",
                    help="stream batches from the HDF5 sidecar store "
                         "(constant host memory; NYTimes800k scale)")
-    p.add_argument("--grad-accum", type=int, default=None, metavar="N",
+    p.add_argument("--batch-size", type=int, default=None, metavar="B",
+                   help="global training batch size (default: the "
+                        "reference's per-preset value; the measured "
+                        "production sweet spot on v5e is 256 — BASELINE.md)")
+    p.add_argument("--grad-accum", default=None, metavar="N",
+                   type=lambda s: s if s == "auto" else int(s),
                    help="split each batch into N sequential microbatches "
                         "inside the jitted step, accumulating gradients "
                         "in-graph before the single optimizer update — "
                         "exact full-batch-mean semantics, ~1/N peak "
-                        "activation memory (large effective batches / "
-                        "image-carrying fine-tune on one chip). "
+                        "activation memory, and a measured throughput WIN "
+                        "at batch 256 (geo +18.5%% at N=8; BASELINE.md). "
+                        "'auto' deploys the measured per-preset table on "
+                        "TPU at batch >= 256. "
                         "Incompatible with TrainConfig.bn_train_mode")
     p.add_argument("--geometry", default=None, metavar="DxH",
                    help="from-scratch transformer geometry "
@@ -173,6 +180,9 @@ def run_train(preset: str, argv=None):
 
     if args.streaming:
         cfg = cfg.replace(data=dataclasses.replace(cfg.data, streaming=True))
+    if args.batch_size:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, batch_size=args.batch_size))
     if args.grad_accum:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, grad_accum_steps=args.grad_accum))

@@ -10,7 +10,7 @@ so a single pipeline serves all three datasets.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,7 +138,11 @@ class TrainConfig:
     # not divisible by N are zero-padded in-graph (padded rows carry zero
     # valid tokens and contribute nothing).  Incompatible with
     # bn_train_mode (batch statistics are defined over the full batch).
-    grad_accum_steps: int = 1
+    # "auto" deploys the measured per-preset throughput table (geo 8,
+    # knowledge 2, news 8 — +18.5%/+5%/+8.6% at batch 256 on v5e,
+    # benchmarks/grad_accum_ab.py) on TPU at batch >= 256, else 1
+    # (train/step.py::resolve_grad_accum).
+    grad_accum_steps: Union[int, str] = 1
     # When the train split's cached image tokens fit in this budget, keep
     # the WHOLE cache in device HBM and ship only int32 row ids per batch —
     # the (B, 196, D) gather happens in-graph, so the dominant data stream

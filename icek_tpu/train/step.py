@@ -75,6 +75,27 @@ def resolve_flat_optimizer(explicit=None) -> bool:
     return bool(explicit)
 
 
+def resolve_grad_accum(steps, variant=None, batch_size=None) -> int:
+    """Resolve ``grad_accum_steps == "auto"`` to the measured per-preset win.
+
+    The round-4 interleaved A/B (benchmarks/grad_accum_ab.py, BASELINE.md,
+    batch 256 on v5e-1) showed in-graph accumulation is a throughput WIN at
+    production batches, not just a memory lever: geo +18.5% at accum=8,
+    news +8.6% at accum=8, knowledge +5% at accum=2 (its E=301 entity
+    encoder re-runs per microbatch, eating the gain at higher N).  "auto"
+    deploys exactly that table — TPU backend and global batch >= 256, the
+    shapes where it was measured — and falls back to 1 (monolithic)
+    everywhere else (CPU, small batches).  Ints pass through unchanged;
+    the default stays 1 so existing runs remain bit-reproducible (the
+    accumulated step draws per-microbatch dropout keys).
+    """
+    if steps != "auto":
+        return int(steps or 1)
+    if jax.default_backend() != "tpu" or (batch_size or 0) < 256:
+        return 1
+    return {"geo": 8, "knowledge": 2, "news": 8}.get(variant, 1)
+
+
 def make_optimizer(learning_rate: float, grad_clip: float = 5.0,
                    flat: bool = None):
     """clip-by-value then Adam — mirrors clip_gradient's clamp_(-c, c)
@@ -309,7 +330,10 @@ def make_train_step(
             encoder_params, new_enc,
         )
 
-    accum = getattr(cfg.train, "grad_accum_steps", 1) or 1
+    accum = resolve_grad_accum(
+        getattr(cfg.train, "grad_accum_steps", 1),
+        mcfg.variant, cfg.train.batch_size,
+    )
     if accum > 1 and bn_train_mode:
         raise ValueError(
             "grad_accum_steps > 1 is incompatible with bn_train_mode: "

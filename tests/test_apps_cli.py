@@ -198,6 +198,52 @@ def test_kv_dtype_cli_plumbs_to_evaluator(tmp_path, monkeypatch):
     assert captured["cfg"].decode.kv_dtype == "auto"
 
 
+def test_train_cli_batch_and_accum_plumb(tmp_path, monkeypatch):
+    """train.py --batch-size / --grad-accum (int or 'auto') reach
+    TrainConfig — the deployment path for the measured batch-256 sweet spot
+    and the per-preset accumulation table (benchmarks/grad_accum_ab.py)."""
+    import importlib.util
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.data import input_files
+    from icek_tpu.train import loop as train_loop
+
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "files"
+    input_files.InputFileWriter(
+        tiny_cfg(), str(raw / "captions_split.json"),
+        str(raw / "entity_context.pkl"), str(raw / "images"), str(out_dir),
+        seed=0,
+    ).run()
+
+    captured = {}
+
+    def spy_train(spy_cfg, *a, **kw):
+        captured["cfg"] = spy_cfg
+
+    monkeypatch.setitem(config_lib.PRESETS, "georic", tiny_cfg)
+    monkeypatch.setattr(train_loop, "train", spy_train)
+
+    spec = importlib.util.spec_from_file_location(
+        "icek_apps_common_train", str(REPO_ROOT / "apps" / "common.py")
+    )
+    common = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(common)
+
+    common.run_train("georic", argv=[
+        "--data-dir", str(out_dir), "--batch-size", "256",
+        "--grad-accum", "auto",
+    ])
+    assert captured["cfg"].train.batch_size == 256
+    assert captured["cfg"].train.grad_accum_steps == "auto"
+
+    common.run_train("georic", argv=[
+        "--data-dir", str(out_dir), "--grad-accum", "4",
+    ])
+    assert captured["cfg"].train.batch_size == tiny_cfg().train.batch_size
+    assert captured["cfg"].train.grad_accum_steps == 4
+
+
 def test_cli_help_surfaces():
     """Each of the 15 entry scripts parses --help (argument surface sanity)."""
     for preset_dir in ("geo_aware", "knowledge_aware", "news_knowledge_aware"):

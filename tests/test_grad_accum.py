@@ -141,6 +141,38 @@ def test_accum_fine_tune_matches_full_batch():
         )
 
 
+def test_resolve_grad_accum(monkeypatch):
+    """'auto' deploys the measured per-preset table only where it was
+    measured (TPU, batch >= 256); ints and None pass through."""
+    resolve = step_lib.resolve_grad_accum
+    assert resolve(1) == 1
+    assert resolve(4, "geo", 32) == 4          # explicit wins everywhere
+    assert resolve(None) == 1
+    assert resolve(0) == 1
+    # CPU backend: auto always monolithic
+    assert resolve("auto", "geo", 256) == 1
+    monkeypatch.setattr(step_lib.jax, "default_backend", lambda: "tpu")
+    assert resolve("auto", "geo", 256) == 8
+    assert resolve("auto", "knowledge", 256) == 2
+    assert resolve("auto", "news", 512) == 8
+    assert resolve("auto", "geo", 64) == 1     # below the measured batch
+    assert resolve("auto", "geo", None) == 1
+
+
+def test_accum_auto_resolves_inside_make_train_step(monkeypatch):
+    """grad_accum_steps='auto' flows through make_train_step: on CPU it
+    resolves to 1, so the step is exactly the monolithic step."""
+    cfg, V, params, batch = _setup(B=8)
+    rng = jax.random.PRNGKey(3)
+    p1, _, loss1, count1 = _one_step(cfg, V, params, batch, rng)
+    p2, _, loss2, count2 = _one_step(_with_accum(cfg, "auto"), V, params,
+                                     batch, rng)
+    assert int(count1) == int(count2)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-7)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_accum_rejects_bn_train_mode():
     cfg, V, _, _ = _setup()
     cfg = _with_accum(cfg, 2)
