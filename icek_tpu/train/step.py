@@ -81,8 +81,10 @@ def resolve_grad_accum(steps, variant=None, batch_size=None) -> int:
     The round-4 interleaved A/B (benchmarks/grad_accum_ab.py, BASELINE.md,
     batch 256 on v5e-1) showed in-graph accumulation is a throughput WIN at
     production batches, not just a memory lever: geo +18.5% at accum=8,
-    news +8.6% at accum=8, knowledge +5% at accum=2 (its E=301 entity
-    encoder re-runs per microbatch, eating the gain at higher N).  "auto"
+    news +8.6% at accum=8, knowledge +5% at accum=2 only (higher N
+    measured flat-to-worse there — the per-microbatch fixed costs, e.g.
+    the params-sized gradient-accumulator read+write every microbatch,
+    grow with N and knowledge's gain is the smallest to start).  "auto"
     deploys exactly that table — TPU backend and global batch >= 256, the
     shapes where it was measured — and falls back to 1 (monolithic)
     everywhere else (CPU, small batches).  Ints pass through unchanged;
