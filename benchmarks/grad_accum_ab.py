@@ -20,6 +20,8 @@ free knob, not a quality trade.
 
 Usage: python benchmarks/grad_accum_ab.py [--presets georic ...]
          [--batch 256] [--accum 1 2 4 8] [--iters 6] [--chunk 15]
+       python benchmarks/grad_accum_ab.py --presets georic \
+         --pairs 256x8 512x16   # race global batches in one session
 """
 
 import argparse
@@ -75,18 +77,29 @@ def build_batch(rng, cfg, preset, batch):
     return jax.tree.map(jnp.asarray, data)
 
 
-def run_preset(preset, batch, accum_factors, iters, chunk):
+def run_preset(preset, pairs, iters, chunk):
+    """Interleaved A/B over (global_batch, accum) pairs for one preset.
+
+    All variants share one session/process, compile before timing, and are
+    timed in round-robin chunks so tunnel drift hits every variant equally.
+    Distinct global batches build distinct (seed-0) batch tensors; samples/s
+    is per-variant batch/step so cross-batch comparisons are apples-to-apples
+    throughput.
+    """
     compute_dtype = (
         jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     )
-    rng = np.random.default_rng(0)
     cfg0 = config_lib.get_config(preset)
-    batch_data = build_batch(rng, cfg0, preset, batch)
+    batches = {}
+    for b, _ in pairs:
+        if b not in batches:
+            batches[b] = build_batch(np.random.default_rng(0), cfg0,
+                                     preset, b)
     keys = [jax.random.PRNGKey(i) for i in range(chunk)]
     jax.block_until_ready(keys)
 
     states = {}
-    for a in accum_factors:
+    for b, a in pairs:
         cfg = cfg0.replace(
             train=dataclasses.replace(cfg0.train, grad_accum_steps=a)
         )
@@ -103,30 +116,34 @@ def run_preset(preset, batch, accum_factors, iters, chunk):
         )
         t0 = time.perf_counter()
         params, opt_state, loss, _ = ts(params, opt_state, None,
-                                        batch_data, keys[0])
+                                        batches[b], keys[0])
         float(loss)  # compile + drain (block_until_ready is unreliable
         # through the axon tunnel)
-        print(f"  [{preset}] accum={a}: first step "
+        print(f"  [{preset}] batch={b} accum={a}: first step "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-        states[a] = [ts, params, opt_state]
+        states[(b, a)] = [ts, params, opt_state]
 
-    times = {a: [] for a in accum_factors}
+    times = {pair: [] for pair in pairs}
     for _ in range(iters):
-        for a in accum_factors:  # interleave: drift hits all equally
-            ts, params, opt_state = states[a]
+        for pair in pairs:  # interleave: drift hits all equally
+            b, _ = pair
+            ts, params, opt_state = states[pair]
             t0 = time.perf_counter()
             for i in range(chunk):
                 params, opt_state, loss, _ = ts(params, opt_state, None,
-                                                batch_data, keys[i])
+                                                batches[b], keys[i])
             float(loss)
-            times[a].append((time.perf_counter() - t0) / chunk)
-            states[a][1], states[a][2] = params, opt_state
+            times[pair].append((time.perf_counter() - t0) / chunk)
+            states[pair][1], states[pair][2] = params, opt_state
 
-    out = {"preset": preset, "batch": batch, "iters": iters, "chunk": chunk}
-    for a in accum_factors:
-        med = float(np.median(times[a]))
-        out[f"accum{a}_step_ms"] = round(med * 1000, 2)
-        out[f"accum{a}_samples_per_sec"] = round(batch / med, 1)
+    out = {"preset": preset, "iters": iters, "chunk": chunk}
+    for pair in pairs:
+        b, a = pair
+        med = float(np.median(times[pair]))
+        tag = f"b{b}_accum{a}" if len({p[0] for p in pairs}) > 1 \
+            else f"accum{a}"
+        out[f"{tag}_step_ms"] = round(med * 1000, 2)
+        out[f"{tag}_samples_per_sec"] = round(b / med, 1)
     return out
 
 
@@ -136,11 +153,19 @@ def main():
                     default=["georic", "k_georic", "nytimes800k"])
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--accum", nargs="*", type=int, default=[1, 2, 4, 8])
+    ap.add_argument("--pairs", nargs="*", metavar="BATCHxACCUM",
+                    help="explicit (global batch, accum) variants, e.g. "
+                         "256x8 512x16 — overrides --batch/--accum; lets "
+                         "different global batches race in one session")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--chunk", type=int, default=15)
     args = ap.parse_args()
+    if args.pairs:
+        pairs = [tuple(int(v) for v in p.split("x")) for p in args.pairs]
+    else:
+        pairs = [(args.batch, a) for a in args.accum]
     results = [
-        run_preset(p, args.batch, args.accum, args.iters, args.chunk)
+        run_preset(p, pairs, args.iters, args.chunk)
         for p in args.presets
     ]
     print(json.dumps(results, indent=2))

@@ -28,6 +28,9 @@ PRESET_SHAPES = {
     "georic": (301, 0, 5, 32),
     "k_georic": (301, 51, 5, 102),
     "nytimes800k": (101, 301, 10, 52),
+    # same data protocol/shapes as georic; only the transformer geometry
+    # differs (config.georic_fast)
+    "georic_fast": (301, 0, 5, 32),
 }
 
 
