@@ -164,15 +164,31 @@ def run_train(preset: str, argv=None):
                         "--glove (GloVe vectors are 300-d).")
     add_parallel_args(p, "train")
     args = p.parse_args(argv)
-    import dataclasses
 
-    if args.geometry:
+    resume = args.resume
+    if resume == "auto":
+        from icek_tpu.train import checkpoint as ckpt_lib
+
+        resume = ckpt_lib.latest_checkpoint(
+            args.checkpoint_dir, cfg.data.base_name
+        )
+        print(f"auto-resume: {resume or 'no checkpoint found, fresh run'}")
+    if resume:
+        # A resumed run must train at the checkpoint's recorded geometry:
+        # resolve it exactly like eval/serve do (flag must agree when both
+        # are present; recorded geometry re-applies without the flag).
+        from icek_tpu.train import checkpoint as ckpt_lib
+
+        cfg = config_lib.resolve_geometry(
+            cfg, ckpt_lib.read_meta(resume), flag=args.geometry
+        )
+    elif args.geometry:
         cfg = config_lib.apply_geometry(cfg, args.geometry)
-        if args.glove and cfg.model.emb_dim != 300:
-            raise SystemExit(
-                "--glove requires emb_dim=300 (GloVe 42B vectors); "
-                f"--geometry {args.geometry} is incompatible"
-            )
+    if args.glove and cfg.model.emb_dim != 300:
+        raise SystemExit(
+            "--glove requires emb_dim=300 (GloVe 42B vectors); "
+            f"geometry {config_lib.geometry_of(cfg)} is incompatible"
+        )
     mesh = resolve_parallel(args)
 
     from icek_tpu.train import loop as train_loop
@@ -190,14 +206,6 @@ def run_train(preset: str, argv=None):
     pretrained = None
     if args.glove:
         pretrained = load_glove_embeddings(args.glove, wm, cfg.model.emb_dim)
-    resume = args.resume
-    if resume == "auto":
-        from icek_tpu.train import checkpoint as ckpt_lib
-
-        resume = ckpt_lib.latest_checkpoint(
-            args.checkpoint_dir, cfg.data.base_name
-        )
-        print(f"auto-resume: {resume or 'no checkpoint found, fresh run'}")
     train_loop.train(
         cfg, args.data_dir, len(wm), wm.pad_id,
         checkpoint_dir=args.checkpoint_dir,
@@ -427,7 +435,7 @@ def _run_serve_router(argv, args):
     try:
         print(f"waiting for {args.replicas} replicas {specs} "
               f"(warmup includes XLA compilation)", flush=True)
-        router_lib.wait_for_healthy(specs)
+        router_lib.wait_for_healthy(specs, procs=procs)
         server = router_lib.make_router(specs, args.host, args.port)
         print(f"routing over {specs} on "
               f"http://{args.host}:{server.server_address[1]}", flush=True)
@@ -479,6 +487,10 @@ def run_serve(preset: str, argv=None):
                         "'auto' applies exactly that table (int8 on news/"
                         "TPU, float elsewhere); int8 modes are NOT "
                         "bit-parity with the float pipeline")
+    p.add_argument("--geometry", default=None, metavar="DxH",
+                   help="transformer geometry of the checkpoint, for "
+                        "checkpoints that predate geometry recording in "
+                        "meta (newer checkpoints resolve it automatically)")
     args = p.parse_args(argv)
 
     if args.kv_dtype:
@@ -511,7 +523,7 @@ def run_serve(preset: str, argv=None):
         )
     else:
         params, _, encoder_params, meta = ckpt_lib.load_checkpoint(args.checkpoint)
-        cfg = config_lib.resolve_geometry(cfg, meta)
+        cfg = config_lib.resolve_geometry(cfg, meta, flag=args.geometry)
     encoder_qtree = None
     if args.encoder_qtree:
         from icek_tpu.models import resnet_int8

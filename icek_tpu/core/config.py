@@ -340,6 +340,10 @@ def resolve_geometry(cfg: Config, meta: Optional[dict] = None,
     one); otherwise the checkpoint meta's geometry is re-applied so a
     ``--geometry``-trained model evaluates without repeating the flag."""
     recorded = (meta or {}).get("geometry")
+    # Normalize before comparing: apply_geometry lowercases, so "256X8"
+    # and "256x8" are the same geometry and must not be rejected as a
+    # conflict.
+    flag = flag.strip().lower() if flag else flag
     if flag and recorded and flag != recorded:
         raise ValueError(
             f"--geometry {flag} conflicts with the checkpoint's recorded "

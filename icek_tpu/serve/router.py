@@ -14,9 +14,11 @@ step over the mesh).  This module makes that scale-out story real:
     router's own (per-backend request/error counts); ``GET /healthz`` is
     OK while at least one backend accepts work.
   * ``launch_replicas(cmd, n, base_port)`` — subprocess launcher used by
-    ``apps/*/serve.py --replicas N``: replica i gets ``--port base+1+i``
-    and ``ICEK_SERVE_DEVICE=i`` (run_serve pins jax's default device to
-    ``jax.devices()[i]``, one engine per chip on a multi-chip host).
+    ``apps/*/serve.py --replicas N``: replica i gets ``--port base+1+i``,
+    the libtpu single-host partition env (``TPU_VISIBLE_DEVICES=i`` +
+    bounds, so each process initializes against — and owns — exactly one
+    chip; see ``_replica_env``) and ``ICEK_SERVE_DEVICE=i`` (run_serve
+    additionally pins jax's default device among the visible ones).
 
 Throughput scales linearly in replicas by construction (replicas share
 nothing); the single-chip measurement in benchmarks/serving.py stands in
@@ -59,12 +61,17 @@ class _Backend:
 class RouterState:
     """Round-robin scheduling + down-marking shared by handler threads."""
 
-    def __init__(self, backends, cooldown_s: float, request_timeout: float):
+    def __init__(self, backends, cooldown_s: float, request_timeout: float,
+                 probe_timeout: float = 5.0):
         if not backends:
             raise ValueError("router needs at least one backend")
         self.backends = [_Backend(*_parse_backend(b)) for b in backends]
         self.cooldown_s = cooldown_s
         self.request_timeout = request_timeout
+        # /stats and other side-channel probes must not inherit the long
+        # caption timeout: one wedged replica would stall monitoring for
+        # request_timeout (600 s default) per poll.
+        self.probe_timeout = probe_timeout
         self._lock = threading.Lock()
         self._next = 0
 
@@ -155,7 +162,7 @@ def _router_handler(state: RouterState):
                     entry = {"address": b.address}
                     try:
                         status, body = _forward(
-                            b, "GET", "/stats", None, state.request_timeout
+                            b, "GET", "/stats", None, state.probe_timeout
                         )
                         stats = json.loads(body)
                         entry.update(up=True, stats=stats)
@@ -214,23 +221,52 @@ def make_router(
     port: int = 8000,
     cooldown_s: float = 2.0,
     request_timeout: float = 600.0,
+    probe_timeout: float = 5.0,
 ) -> ThreadingHTTPServer:
     """Build (but do not start) the replica router; ``backends`` is a list
     of ``"host:port"`` strings or ``(host, port)`` tuples.  ``port=0``
     binds an ephemeral port (tests).  The returned server exposes its
     scheduling state as ``server.router_state``."""
-    state = RouterState(backends, cooldown_s, request_timeout)
+    state = RouterState(backends, cooldown_s, request_timeout,
+                        probe_timeout=probe_timeout)
     server = ThreadingHTTPServer((host, port), _router_handler(state))
     server.router_state = state
     return server
 
 
+_TPU_PARTITION_ENV = (
+    "TPU_PROCESS_BOUNDS",
+    "TPU_CHIPS_PER_PROCESS_BOUNDS",
+    "TPU_VISIBLE_DEVICES",
+)
+
+
+def _replica_env(i: int, base_env, env_extra) -> dict:
+    """Per-replica environment: ``ICEK_SERVE_DEVICE=i`` plus, when the
+    operator has not already partitioned the TPU themselves, the standard
+    libtpu single-host partition recipe so replica i initializes against
+    chip i ONLY (one process per chip).  Without it, the first replica's
+    jax init locks every chip on the host and the rest die with "TPU
+    already in use" — ``jax_default_device`` selects among visible devices
+    but never partitions ownership.  Harmless off-TPU (the CPU backend
+    ignores these).  Multi-chip hardware is not reachable from this
+    environment, so the recipe is validated only at the env-injection
+    level (tests/test_serving.py)."""
+    env = dict(base_env, ICEK_SERVE_DEVICE=str(i), **(env_extra or {}))
+    if not any(k in env for k in _TPU_PARTITION_ENV):
+        env["TPU_PROCESS_BOUNDS"] = "1,1,1"
+        env["TPU_CHIPS_PER_PROCESS_BOUNDS"] = "1,1,1"
+        env["TPU_VISIBLE_DEVICES"] = str(i)
+    return env
+
+
 def launch_replicas(argv: List[str], replicas: int, base_port: int,
                     host: str = "127.0.0.1", env_extra=None):
     """Spawn ``replicas`` serving subprocesses: replica i runs ``argv``
-    with ``--port base_port+1+i --host host`` appended and
-    ``ICEK_SERVE_DEVICE=i`` in its environment (run_serve pins jax's
-    default device accordingly).  Returns (procs, backend_specs)."""
+    with ``--port base_port+1+i --host host`` appended and the per-chip
+    environment from :func:`_replica_env` (run_serve additionally pins
+    jax's default device from ICEK_SERVE_DEVICE).  Returns
+    (procs, backend_specs)."""
     import os
     import subprocess
     import sys
@@ -238,7 +274,7 @@ def launch_replicas(argv: List[str], replicas: int, base_port: int,
     procs, specs = [], []
     for i in range(replicas):
         port = base_port + 1 + i
-        env = dict(os.environ, ICEK_SERVE_DEVICE=str(i), **(env_extra or {}))
+        env = _replica_env(i, os.environ, env_extra)
         cmd = [sys.executable] + argv + ["--port", str(port), "--host", host]
         procs.append(subprocess.Popen(cmd, env=env))
         specs.append(f"{host}:{port}")
@@ -246,12 +282,28 @@ def launch_replicas(argv: List[str], replicas: int, base_port: int,
 
 
 def wait_for_healthy(backends, timeout_s: float = 600.0,
-                     poll_s: float = 1.0) -> None:
+                     poll_s: float = 1.0, procs=None) -> None:
     """Block until every backend answers ``GET /healthz`` (replica warmup
-    includes XLA compilation — minutes on a cold cache)."""
+    includes XLA compilation — minutes on a cold cache).  ``procs``
+    (subprocess handles, index-aligned with ``backends``) enables
+    fail-fast: a replica that exits before turning healthy raises
+    immediately instead of burning the full timeout polling a dead port."""
     deadline = time.monotonic() + timeout_s
     remaining = [_parse_backend(b) for b in backends]
     while remaining:
+        if procs is not None:
+            # Any exit before turning healthy is fatal — even code 0 means
+            # the port will never come up.
+            dead = [
+                f"replica {i} (pid {p.pid}) exited with code {p.returncode}"
+                for i, p in enumerate(procs)
+                if p.poll() is not None
+            ]
+            if dead:
+                raise RuntimeError(
+                    "replica process(es) died during warmup: "
+                    + "; ".join(dead)
+                )
         host, port = remaining[0]
         try:
             status, _ = _forward(_Backend(host, port), "GET", "/healthz",

@@ -120,6 +120,14 @@ def load_checkpoint(path: str, opt_state_template: Any = None) -> Tuple[Any, Any
     )
 
 
+def read_meta(path: str) -> Dict:
+    """Decode only the meta dict of a checkpoint (for pre-flight checks —
+    e.g. resume-side geometry resolution — without building param trees)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return json.loads(payload["meta"])
+
+
 def save_encoder_tree(path: str, encoder_params: Any, meta: Optional[Dict] = None) -> str:
     """Standalone encoder-weights file (tools/port_torchvision_encoder.py):
     ``{meta, encoder_params}`` only, for ``train.py --encoder-weights``."""

@@ -272,6 +272,18 @@ def train(
     start_epoch, stale, best_loss, resume_step = 0, 0, float("inf"), 0
     if resume_from:
         params, restored_opt, enc, meta = ckpt.load_checkpoint(resume_from, opt_state)
+        recorded_geom = meta.get("geometry")
+        if recorded_geom and recorded_geom != config_lib.geometry_of(cfg):
+            # Same-width mismatches (e.g. 300x6 vs 300x10) would otherwise
+            # load silently and train corrupted head groupings; apps/common
+            # resolves this automatically via checkpoint.read_meta, so this
+            # only fires for direct library callers.
+            raise ValueError(
+                f"resume checkpoint {resume_from} records geometry "
+                f"{recorded_geom} but the config is "
+                f"{config_lib.geometry_of(cfg)}; apply the recorded "
+                f"geometry (core.config.apply_geometry) before resuming"
+            )
         if restored_opt is not None:
             opt_state = restored_opt
         if enc is not None:

@@ -257,3 +257,64 @@ def test_cli_help_surfaces():
                      "PYTHONPATH": str(REPO_ROOT)},
             )
             assert result.returncode == 0, (preset_dir, script, result.stderr[-500:])
+
+
+def test_train_cli_resume_applies_recorded_geometry(tmp_path, monkeypatch):
+    """--resume auto on a --geometry-trained checkpoint re-applies the
+    recorded geometry without repeating the flag (the checkpoint.read_meta
+    pre-flight in run_train), rejects a conflicting flag, and accepts an
+    equivalent flag regardless of case."""
+    import importlib.util
+
+    from icek_tpu.core import config as config_lib
+    from icek_tpu.data import input_files
+    from icek_tpu.train import loop as train_loop
+
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "files"
+    input_files.InputFileWriter(
+        tiny_cfg(), str(raw / "captions_split.json"),
+        str(raw / "entity_context.pkl"), str(raw / "images"), str(out_dir),
+        seed=0,
+    ).run()
+    monkeypatch.setitem(config_lib.PRESETS, "georic", tiny_cfg)
+
+    spec = importlib.util.spec_from_file_location(
+        "icek_apps_common_resume_geom", str(REPO_ROOT / "apps" / "common.py")
+    )
+    common = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(common)
+
+    ckpt_dir = tmp_path / "ckpts"
+    common.run_train("georic", argv=[
+        "--data-dir", str(out_dir), "--checkpoint-dir", str(ckpt_dir),
+        "--geometry", "16x4", "--epochs", "1",
+    ])
+
+    captured = {}
+
+    def spy_train(spy_cfg, *a, **kw):
+        captured["cfg"] = spy_cfg
+        captured["resume"] = kw.get("resume_from")
+
+    monkeypatch.setattr(train_loop, "train", spy_train)
+
+    common.run_train("georic", argv=[
+        "--data-dir", str(out_dir), "--checkpoint-dir", str(ckpt_dir),
+        "--resume", "auto",
+    ])
+    assert config_lib.geometry_of(captured["cfg"]) == "16x4"
+    assert captured["resume"]
+
+    # an equivalent flag in a different case is not a conflict
+    common.run_train("georic", argv=[
+        "--data-dir", str(out_dir), "--checkpoint-dir", str(ckpt_dir),
+        "--resume", "auto", "--geometry", "16X4",
+    ])
+    assert config_lib.geometry_of(captured["cfg"]) == "16x4"
+
+    with pytest.raises(ValueError, match="conflicts"):
+        common.run_train("georic", argv=[
+            "--data-dir", str(out_dir), "--checkpoint-dir", str(ckpt_dir),
+            "--resume", "auto", "--geometry", "16x2",
+        ])

@@ -64,6 +64,12 @@ def test_resolve_geometry_flag_and_meta():
     assert out.model.num_heads == 8
     with pytest.raises(ValueError):
         config_lib.resolve_geometry(cfg, {"geometry": "256x8"}, flag="128x4")
+    # flag comparison is normalized: "256X8" is the same geometry as the
+    # recorded "256x8", not a conflict
+    out = config_lib.resolve_geometry(
+        cfg, {"geometry": "256x8"}, flag="256X8", log=lambda s: None
+    )
+    assert config_lib.geometry_of(out) == "256x8"
 
 
 def test_geometry_train_and_beam_decode_e2e(tmp_path):
@@ -103,3 +109,43 @@ def test_geometry_train_and_beam_decode_e2e(tmp_path):
     out = evaluator.run(test_data, output_csv=str(csv_path), log=lambda s: None)
     assert len(out["captions"]) == len(test_data)
     assert csv_path.exists()
+
+
+def test_resume_geometry_guard_and_read_meta(tmp_path):
+    """Resuming a --geometry-trained checkpoint under a mismatched config
+    must error clearly, not silently train corrupted head groupings (a
+    300x6 checkpoint loads shape-compatibly into a 300x10 config).
+    checkpoint.read_meta supplies the recorded geometry without building
+    param trees (the run_train pre-flight)."""
+    cfg = config_lib.apply_geometry(tiny_cfg(), "16x4")
+    raw = make_raw_dataset(tmp_path)
+    out_dir = tmp_path / "files"
+    wm = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), str(out_dir), seed=0,
+    ).run()
+    ckpt_dir = tmp_path / "ckpts"
+    train_loop.train(
+        cfg, str(out_dir), len(wm), wm.pad_id,
+        checkpoint_dir=str(ckpt_dir), max_epochs=1, log=lambda s: None,
+    )
+    latest = ckpt.latest_checkpoint(str(ckpt_dir), "tiny_geo")
+    assert ckpt.read_meta(latest)["geometry"] == "16x4"
+
+    # same emb_dim, different head count: every param shape matches, so
+    # without the guard this would "work" — the dangerous case
+    bad = config_lib.apply_geometry(tiny_cfg(), "16x2")
+    with pytest.raises(ValueError, match="geometry"):
+        train_loop.train(
+            bad, str(out_dir), len(wm), wm.pad_id,
+            checkpoint_dir=str(ckpt_dir), max_epochs=2,
+            resume_from=latest, log=lambda s: None,
+        )
+
+    # matching config resumes fine
+    result = train_loop.train(
+        cfg, str(out_dir), len(wm), wm.pad_id,
+        checkpoint_dir=str(ckpt_dir), max_epochs=2,
+        resume_from=latest, log=lambda s: None,
+    )
+    assert np.isfinite(result.best_loss)

@@ -513,3 +513,80 @@ def test_engine_int8_kv_serving_mode(serving_setup):
         out = engine.caption(_sample(data, 0), timeout=300)
     assert isinstance(out["caption"], str)
     assert len(out["tokens"]) > 0
+
+
+def test_replica_env_injects_tpu_partition():
+    """launch_replicas must PARTITION chips, not just pick a default
+    device: without TPU_VISIBLE_DEVICES + the single-chip bounds the first
+    replica's jax init locks every chip on the host and the rest die with
+    "TPU already in use" (jax_default_device selects among visible devices
+    but never assigns ownership).  Multi-chip hardware is not reachable in
+    this environment, so the libtpu recipe is pinned at the env level."""
+    from icek_tpu.serve.router import _replica_env
+
+    env = _replica_env(2, {"PATH": "/bin"}, None)
+    assert env["ICEK_SERVE_DEVICE"] == "2"
+    assert env["TPU_VISIBLE_DEVICES"] == "2"
+    assert env["TPU_PROCESS_BOUNDS"] == "1,1,1"
+    assert env["TPU_CHIPS_PER_PROCESS_BOUNDS"] == "1,1,1"
+    # an operator who partitioned the TPU themselves is respected verbatim
+    env = _replica_env(0, {"TPU_VISIBLE_DEVICES": "4,5"}, None)
+    assert env["TPU_VISIBLE_DEVICES"] == "4,5"
+    assert "TPU_PROCESS_BOUNDS" not in env
+    # ... including via env_extra
+    env = _replica_env(1, {}, {"TPU_VISIBLE_DEVICES": "7"})
+    assert env["TPU_VISIBLE_DEVICES"] == "7"
+    assert "TPU_PROCESS_BOUNDS" not in env
+
+
+def test_wait_for_healthy_fails_fast_on_dead_replica():
+    """A replica that exits during warmup (bad checkpoint path, TPU
+    contention) must fail the launch immediately — not burn the full
+    health timeout polling a port that will never come up."""
+    import subprocess
+    import sys
+    import time as time_mod
+
+    from icek_tpu.serve import router as router_lib
+
+    proc = subprocess.Popen([sys.executable, "-c", "import sys; sys.exit(3)"])
+    proc.wait(timeout=30)
+    t0 = time_mod.monotonic()
+    with pytest.raises(RuntimeError, match="exited with code 3"):
+        router_lib.wait_for_healthy(
+            ["127.0.0.1:9"], timeout_s=60, poll_s=0.1, procs=[proc]
+        )
+    assert time_mod.monotonic() - t0 < 10
+
+
+def test_stats_probe_timeout_bounds_wedged_backend():
+    """GET /stats must use the short probe timeout, not the 600 s caption
+    timeout: a replica that accepts connections but never responds may
+    stall monitoring only briefly, and is reported down in the payload."""
+    import socket
+    import time as time_mod
+
+    from icek_tpu.serve import router as router_lib
+
+    wedged = socket.socket()
+    wedged.bind(("127.0.0.1", 0))
+    wedged.listen(1)
+    port = wedged.getsockname()[1]
+    router = router_lib.make_router(
+        [f"127.0.0.1:{port}"], port=0, request_timeout=600.0,
+        probe_timeout=0.5,
+    )
+    thread = _start(router)
+    try:
+        t0 = time_mod.monotonic()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{router.server_address[1]}/stats", timeout=30
+        ) as r:
+            agg = json.load(r)
+        assert time_mod.monotonic() - t0 < 10
+        assert agg["backends"][0]["up"] is False
+    finally:
+        router.shutdown()
+        router.server_close()
+        thread.join()
+        wedged.close()
