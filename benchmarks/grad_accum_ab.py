@@ -161,7 +161,16 @@ def main():
     ap.add_argument("--chunk", type=int, default=15)
     args = ap.parse_args()
     if args.pairs:
-        pairs = [tuple(int(v) for v in p.split("x")) for p in args.pairs]
+        pairs = []
+        for p in args.pairs:
+            # accept both the BATCHxACCUM and BATCH:ACCUM spellings
+            parts = p.replace(":", "x").split("x")
+            if len(parts) != 2:
+                ap.error(
+                    f"--pairs entries must be BATCHxACCUM (e.g. 256x8); "
+                    f"got {p!r}"
+                )
+            pairs.append((int(parts[0]), int(parts[1])))
     else:
         pairs = [(args.batch, a) for a in args.accum]
     results = [

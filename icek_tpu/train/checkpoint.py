@@ -121,8 +121,10 @@ def load_checkpoint(path: str, opt_state_template: Any = None) -> Tuple[Any, Any
 
 
 def read_meta(path: str) -> Dict:
-    """Decode only the meta dict of a checkpoint (for pre-flight checks —
-    e.g. resume-side geometry resolution — without building param trees)."""
+    """The meta dict of a checkpoint (for pre-flight checks — e.g.
+    resume-side geometry resolution).  Skips the jax tree/device
+    restoration, not the read: msgpack_restore still materializes the full
+    payload in host memory, so this costs one deserialization pass."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     return json.loads(payload["meta"])
