@@ -151,9 +151,10 @@ def run_train(preset: str, argv=None):
                         "exact full-batch-mean semantics, ~1/N peak "
                         "activation memory, and a measured throughput WIN "
                         "at batch 256 (geo +18.5%% at N=8; BASELINE.md). "
-                        "'auto' deploys the measured per-preset table on "
-                        "TPU at batch >= 256. "
-                        "Incompatible with TrainConfig.bn_train_mode")
+                        "'auto' (the default) deploys the measured "
+                        "per-preset table on TPU at batch >= 256; pass 1 "
+                        "for bit-reproducibility with monolithic-step "
+                        "runs. Incompatible with TrainConfig.bn_train_mode")
     p.add_argument("--geometry", default=None, metavar="DxH",
                    help="from-scratch transformer geometry "
                         "'<emb_dim>x<num_heads>' (e.g. 256x8 — measured "
@@ -199,7 +200,9 @@ def run_train(preset: str, argv=None):
     if args.batch_size:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, batch_size=args.batch_size))
-    if args.grad_accum:
+    if args.grad_accum is not None:
+        # `is not None`, not truthiness: --grad-accum 1 (the monolithic
+        # bit-reproducibility escape hatch) must override the "auto" default
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, grad_accum_steps=args.grad_accum))
     wm = load_wordmap(args.data_dir, cfg.data.base_name)
@@ -267,7 +270,8 @@ def run_eval(preset: str, argv=None):
                    metavar="FILE",
                    help="encode the TEST split once and cache the encoder "
                         "tokens (default FILE: TEST_TOKENS_{base}.npz in "
-                        "--data-dir); later runs with the same checkpoint "
+                        "--data-dir, or the sidecar TEST_TOKENS_{base}.h5 "
+                        "with --streaming); later runs with the same checkpoint "
                         "load the cache and skip the encoder + image IO — "
                         "the metric-iteration fast path.  Caches are bound "
                         "to the encoder weights by fingerprint and captions "
@@ -367,15 +371,25 @@ def run_eval(preset: str, argv=None):
     )
 
     if args.cache_tokens:
-        if args.streaming or mesh is not None:
+        if mesh is not None:
             raise SystemExit(
-                "--cache-tokens requires the in-memory single-process "
-                "loader (no --streaming / --distributed)"
+                "--cache-tokens requires a single-process run "
+                "(no --distributed)"
+            )
+        if args.streaming:
+            # disk-backed h5 cache in the streaming sidecar layout
+            # (eval_driver.cache_split_tokens streaming branch)
+            from icek_tpu.data import streaming as streaming_lib
+
+            default_path = streaming_lib.token_cache_path(
+                args.data_dir, cfg.data.base_name, "TEST"
+            )
+        else:
+            default_path = os.path.join(
+                args.data_dir, f"TEST_TOKENS_{cfg.data.base_name}.npz"
             )
         cache_path = (
-            os.path.join(args.data_dir,
-                         f"TEST_TOKENS_{cfg.data.base_name}.npz")
-            if args.cache_tokens == "auto" else args.cache_tokens
+            default_path if args.cache_tokens == "auto" else args.cache_tokens
         )
         evaluator.cache_split_tokens(data, cache_path)
 

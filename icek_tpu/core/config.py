@@ -138,16 +138,27 @@ class TrainConfig:
     # not divisible by N are zero-padded in-graph (padded rows carry zero
     # valid tokens and contribute nothing).  Incompatible with
     # bn_train_mode (batch statistics are defined over the full batch).
-    # "auto" deploys the measured per-preset throughput table (geo 8,
-    # knowledge 2, news 8 — +18.5%/+5%/+8.6% at batch 256 on v5e,
-    # benchmarks/grad_accum_ab.py) on TPU at batch >= 256, else 1
-    # (train/step.py::resolve_grad_accum).
-    grad_accum_steps: Union[int, str] = 1
-    # When the train split's cached image tokens fit in this budget, keep
-    # the WHOLE cache in device HBM and ship only int32 row ids per batch —
-    # the (B, 196, D) gather happens in-graph, so the dominant data stream
-    # never crosses the host->device link (~30 MB/step at batch 256).
-    # 0 disables.  Single-process, frozen-encoder training only.
+    # "auto" (the DEFAULT) deploys the measured per-preset throughput table
+    # (geo 8, knowledge 2, news 8 — +18.5%/+5%/+8.6% at batch 256 on v5e,
+    # benchmarks/grad_accum_ab.py) on TPU at batch >= 256, and resolves to
+    # 1 (monolithic) everywhere else — CPU and small batches train exactly
+    # as before (train/step.py::resolve_grad_accum).  Pass 1 explicitly
+    # (`--grad-accum 1`) for bit-reproducibility with pre-r5 TPU runs: the
+    # accumulated step draws per-microbatch dropout keys, so the mask
+    # stream differs from the monolithic step's (semantics stay exact).
+    # Re-validate the table on new hardware with
+    # benchmarks/revalidate_autos.py.
+    grad_accum_steps: Union[int, str] = "auto"
+    # When the train split's cached image tokens fit in this PER-CHIP
+    # budget, keep the WHOLE cache in device HBM and ship only int32 row
+    # ids per batch — the (B, 196, D) gather happens in-graph, so the
+    # dominant data stream never crosses the host->device link
+    # (~30 MB/step at batch 256).  Under a mesh the capacity POOLS over the
+    # data axis: a cache bigger than one chip's budget but within
+    # budget x data-axis-size is row-sharded over dp HBM and gathered via
+    # an explicit ICI exchange (parallel/mesh.py::sharded_row_gather) —
+    # NYTimes800k-scale splits (~90 GB bf16) fit an 8-chip v5e slice.
+    # 0 disables.  Frozen-encoder training only.
     device_token_cache_gb: float = 4.0
     # Fault tolerance: also write the rolling mid-epoch STEP checkpoint
     # every N train batches (0 = epoch boundaries only).  Resume re-enters

@@ -243,6 +243,18 @@ def test_train_cli_batch_and_accum_plumb(tmp_path, monkeypatch):
     assert captured["cfg"].train.batch_size == tiny_cfg().train.batch_size
     assert captured["cfg"].train.grad_accum_steps == 4
 
+    # no flag: the preset default ("auto" since round 5) flows through
+    common.run_train("georic", argv=["--data-dir", str(out_dir)])
+    assert (captured["cfg"].train.grad_accum_steps
+            == tiny_cfg().train.grad_accum_steps)
+
+    # --grad-accum 1 (falsy!) must still override the "auto" default —
+    # the documented bit-reproducibility escape hatch
+    common.run_train("georic", argv=[
+        "--data-dir", str(out_dir), "--grad-accum", "1",
+    ])
+    assert captured["cfg"].train.grad_accum_steps == 1
+
 
 def test_cli_help_surfaces():
     """Each of the 15 entry scripts parses --help (argument surface sanity)."""

@@ -159,6 +159,33 @@ def test_resolve_grad_accum(monkeypatch):
     assert resolve("auto", "geo", None) == 1
 
 
+def test_default_config_resolves_per_backend(monkeypatch):
+    """The no-flag TrainConfig default is 'auto' (round-5 flagship-defaults
+    policy): a zero-flag TPU batch-256 run trains at the measured per-preset
+    table, while CPU and small batches resolve to the monolithic step —
+    existing runs there stay bit-identical."""
+    from icek_tpu.core import config as config_lib
+
+    expected_tpu = {"geo": 8, "knowledge": 2, "news": 8}
+    presets = ["georic", "k_georic", "nytimes800k", "georic_fast"]
+    for preset in presets:
+        cfg = config_lib.get_config(preset)
+        assert cfg.train.grad_accum_steps == "auto", preset
+        # CPU backend (this suite): the default resolves to monolithic
+        assert step_lib.resolve_grad_accum(
+            cfg.train.grad_accum_steps, cfg.model.variant, 256) == 1
+    monkeypatch.setattr(step_lib.jax, "default_backend", lambda: "tpu")
+    for preset in presets:
+        cfg = config_lib.get_config(preset)
+        assert step_lib.resolve_grad_accum(
+            cfg.train.grad_accum_steps, cfg.model.variant, 256
+        ) == expected_tpu[cfg.model.variant], preset
+        # below the measured batch the default stays monolithic even on TPU
+        assert step_lib.resolve_grad_accum(
+            cfg.train.grad_accum_steps, cfg.model.variant,
+            cfg.train.batch_size) == 1
+
+
 def test_accum_auto_resolves_inside_make_train_step(monkeypatch):
     """grad_accum_steps='auto' flows through make_train_step: on CPU it
     resolves to 1, so the step is exactly the monolithic step."""
