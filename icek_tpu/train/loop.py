@@ -203,6 +203,26 @@ def run_validation(
     return losses.avg
 
 
+def resolve_token_cache_placement(
+    n_rows: int, row_bytes: int, budget_gb: float, dp: int
+) -> Optional[str]:
+    """Device token-cache placement rule (documented at
+    TrainConfig.device_token_cache_gb): "replicated" when the whole cache
+    fits one chip's budget (gathers are then local and free), "sharded"
+    when it doesn't but one data shard's rows do — the capacity then POOLS
+    to budget x dp (e.g. NYTimes800k's ~800k rows x 115 KiB bf16 ≈ 88 GiB
+    fits 8 chips at device_token_cache_gb=12) — and None when even the
+    pooled HBM can't hold it (the host streaming path remains)."""
+    budget = budget_gb * 2**30
+    if budget <= 0 or n_rows <= 0:
+        return None
+    if n_rows * row_bytes <= budget:
+        return "replicated"
+    if dp > 1 and -(-n_rows // dp) * row_bytes <= budget:
+        return "sharded"
+    return None
+
+
 def train(
     cfg: Config,
     data_dir: str,
@@ -366,10 +386,14 @@ def train(
     # budget: batches then carry int32 row ids and the step gathers the
     # (B, 196, D) tokens in-graph — the dominant data stream never crosses
     # the host->device link.  Frozen-encoder paths only (fine-tune/bn carry
-    # raw images).  With a mesh the cache is replicated over it (row ids are
-    # global, every process loads the full split); the dp-sharded row-id
-    # gather then yields the dp-sharded token batch in-graph.
-    token_cache = None
+    # raw images).  Under a mesh, a cache within the PER-CHIP budget is
+    # replicated (row-id gathers are then local and free); one that exceeds
+    # it but fits the POOLED dp budget (budget x data-axis size) is
+    # row-sharded over the data axis instead (parallel/mesh.py::shard_rows)
+    # and gathered via the explicit all_gather(ids)+psum_scatter exchange —
+    # this is what lets an NYTimes800k-scale split (~90 GB bf16 tokens, far
+    # beyond one chip) still train straight out of HBM on a pod slice.
+    token_cache = token_cache_mesh = None
     if (
         not encode_images
         and jax.default_backend() != "cpu"
@@ -377,8 +401,14 @@ def train(
         and train_data.image_tokens is not None
     ):
         tokens = train_data.image_tokens
-        nbytes = int(np.prod(tokens.shape)) * 2  # stored bf16 on device
-        if nbytes <= tc.device_token_cache_gb * 2**30:
+        n_rows = int(tokens.shape[0])
+        row_bytes = int(np.prod(tokens.shape[1:])) * 2  # stored bf16 on device
+        nbytes = n_rows * row_bytes
+        dp = mesh.shape[tc.data_axis] if mesh is not None else 1
+        placement = resolve_token_cache_placement(
+            n_rows, row_bytes, tc.device_token_cache_gb, dp
+        )
+        if placement == "replicated":
             host = np.asarray(tokens[:]).astype(jnp.bfloat16)
             if mesh is None:
                 token_cache = jnp.asarray(host)
@@ -398,6 +428,18 @@ def train(
                 f"{' (replicated over mesh)' if mesh is not None else ''}; "
                 "batches carry row ids only"
             )
+        elif placement == "sharded":
+            from icek_tpu.parallel import mesh as _mesh_lib
+
+            token_cache = _mesh_lib.shard_rows(tokens, mesh, jnp.bfloat16)
+            token_cache_mesh = mesh
+            train_data.use_token_rows = True
+            log(
+                f"device token cache: {nbytes / 2**20:.0f} MiB row-sharded "
+                f"over {dp} data shards "
+                f"({nbytes / dp / 2**20:.0f} MiB/chip); batches carry row "
+                "ids only"
+            )
 
     train_step, eval_step = step_lib.make_train_step(
         cfg, vocab_size, pad_id, optimizer,
@@ -406,6 +448,7 @@ def train(
         encoder_optimizer=encoder_optimizer,
         bn_train_mode=tc.bn_train_mode,
         token_cache=token_cache,
+        token_cache_mesh=token_cache_mesh,
     )
 
     metric_log = profiling.MetricLogger(

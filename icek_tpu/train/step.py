@@ -238,6 +238,7 @@ def make_train_step(
     encoder_optimizer=None,
     bn_train_mode: bool = False,
     token_cache=None,
+    token_cache_mesh=None,
 ):
     """Build the jitted train step.
 
@@ -268,11 +269,21 @@ def make_train_step(
                 # the whole split's tokens live in HBM; the batch carries
                 # only row ids and the (B, 196, D) gather happens in-graph —
                 # nothing big crosses the host->device link per step.
-                return (
-                    jnp.take(token_cache, batch["token_rows"], axis=0)
-                    .astype(compute_dtype),
-                    None,
-                )
+                # token_cache_mesh marks the cache as ROW-SHARDED over the
+                # mesh's data axis (pooled multi-chip HBM — splits bigger
+                # than one chip); the gather is then the explicit
+                # all_gather(ids) + local-gather + psum_scatter exchange
+                # (parallel/mesh.py::sharded_row_gather), never a GSPMD
+                # gather that might all-gather the cache.
+                if token_cache_mesh is not None:
+                    from icek_tpu.parallel import mesh as mesh_lib
+
+                    toks = mesh_lib.sharded_row_gather(
+                        token_cache, batch["token_rows"], token_cache_mesh
+                    )
+                else:
+                    toks = jnp.take(token_cache, batch["token_rows"], axis=0)
+                return toks.astype(compute_dtype), None
             # cached tokens may arrive f16 (disk/RAM cache stores half
             # precision when training in bf16); cast on entry so the memory
             # concat stays in compute dtype.  Value-identical to the old

@@ -264,6 +264,160 @@ def test_device_token_cache_sharded_matches_host_path(mesh_shape):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_shard_rows_pads_and_places_contiguous_blocks(tmp_path):
+    """shard_rows: rows pad to ceil(n/dp) per data shard, values round-trip
+    exactly, and an h5py dataset source works via contiguous range reads
+    (the NYTimes-scale streaming token cache is an h5 dataset)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import h5py
+
+    src = np.arange(13 * 3 * 4, dtype=np.float32).reshape(13, 3, 4)
+    for mesh_shape in ((4, 2), (8, 1)):
+        mesh = mesh_lib.make_mesh(*mesh_shape)
+        dp = mesh_shape[0]
+        arr = mesh_lib.shard_rows(src, mesh, np.float32)
+        R = -(-13 // dp)
+        assert arr.shape == (dp * R, 3, 4)
+        got = np.asarray(arr)
+        np.testing.assert_array_equal(got[:13], src)
+        np.testing.assert_array_equal(got[13:], 0)
+        # each data shard's block is one contiguous row range
+        spec = arr.sharding.spec
+        assert spec[0] == mesh_lib.DATA_AXIS
+    with h5py.File(tmp_path / "rows.h5", "w") as h:
+        h.create_dataset("t", data=src)
+    with h5py.File(tmp_path / "rows.h5", "r") as h:
+        arr = mesh_lib.shard_rows(h["t"], mesh_lib.make_mesh(4, 2), np.float32)
+        np.testing.assert_array_equal(np.asarray(arr)[:13], src)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_row_gather_matches_host_gather(mesh_shape):
+    """sharded_row_gather == cache[rows] bit-for-bit for arbitrary global
+    row ids (cross-shard, repeated, and out-of-order — both loaders shuffle
+    globally, so ownership per batch is arbitrary)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.make_mesh(*mesh_shape)
+    rng = np.random.default_rng(7)
+    src = rng.standard_normal((21, 6, 8)).astype(np.float32)
+    cache = mesh_lib.shard_rows(src, mesh, np.float32)
+    rows = np.array([20, 0, 3, 3, 17, 9, 12, 1], np.int32)
+    rows_arr = jax.device_put(
+        rows, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh_lib.DATA_AXIS))
+    )
+    got = np.asarray(mesh_lib.sharded_row_gather(cache, rows_arr, mesh))
+    np.testing.assert_array_equal(got, src[rows])
+    # works under jit too (the train step calls it inside the jitted step)
+    got_jit = np.asarray(jax.jit(
+        lambda c, r: mesh_lib.sharded_row_gather(c, r, mesh)
+    )(cache, rows_arr))
+    np.testing.assert_array_equal(got_jit, src[rows])
+    with pytest.raises(ValueError, match="divisible by the data axis"):
+        mesh_lib.sharded_row_gather(cache, rows_arr[:3], mesh)
+
+
+@pytest.mark.parametrize("accum", [1, 2])
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_device_token_cache_row_sharded_matches_host_path(mesh_shape, accum):
+    """The ROW-SHARDED device token cache (pooled multi-chip HBM): a train
+    step gathering arbitrary rows from the dp-sharded cache produces
+    EXACTLY the same loss and parameters as the host image_tokens path —
+    including under in-graph gradient accumulation (the scan's microbatch
+    row slices re-enter the shard_map exchange).  B=16 keeps every
+    microbatch divisible by the data axis (16/2 rows over <=8 shards); the
+    indivisible case must fail loudly at trace time (asserted below)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg, V, params, batch = _setup(B=16)
+    if accum > 1:
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, grad_accum_steps=accum)
+        )
+    optimizer = step_lib.make_optimizer(1e-3)
+    mesh = mesh_lib.make_mesh(*mesh_shape)
+    sharded_params = mesh_lib.shard_params(params, mesh)
+
+    # a split larger than the batch; the batch references arbitrary rows
+    rng = np.random.default_rng(3)
+    split_tokens = rng.standard_normal((19, 12, 16)).astype(np.float32)
+    rows = np.array([18, 2, 2, 11, 7, 0, 13, 5,
+                     9, 16, 4, 4, 1, 15, 10, 3], np.int32)
+
+    host_batch = {k: v for k, v in batch.items() if k != "image_tokens"}
+    host_batch["image_tokens"] = split_tokens[rows]
+    step_host, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=False
+    )
+    p1, _, loss1, count1 = step_host(
+        jax.tree.map(jnp.copy, sharded_params),
+        optimizer.init(sharded_params), None,
+        mesh_lib.shard_batch(host_batch, mesh), jax.random.PRNGKey(1),
+    )
+
+    token_cache = mesh_lib.shard_rows(split_tokens, mesh, np.float32)
+    rows_batch = {k: v for k, v in batch.items() if k != "image_tokens"}
+    rows_batch["token_rows"] = rows
+    step_dev, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=False,
+        token_cache=token_cache, token_cache_mesh=mesh,
+    )
+    p2, _, loss2, count2 = step_dev(
+        mesh_lib.shard_params(params, mesh),
+        optimizer.init(sharded_params), None,
+        mesh_lib.shard_batch(rows_batch, mesh), jax.random.PRNGKey(1),
+    )
+    assert int(count1) == int(count2)
+    np.testing.assert_array_equal(float(loss1), float(loss2))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_row_sharded_cache_indivisible_microbatch_fails_loudly():
+    """accum splitting a batch below the data-axis width (8-row batch,
+    accum=2 -> 4-row microbatches over 8 dp shards) must raise the
+    guidance error at trace time, not miscompute."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg, V, params, batch = _setup(B=8)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, grad_accum_steps=2)
+    )
+    mesh = mesh_lib.make_mesh(8, 1)
+    split_tokens = np.zeros((19, 12, 16), np.float32)
+    cache = mesh_lib.shard_rows(split_tokens, mesh, np.float32)
+    rows_batch = {k: v for k, v in batch.items() if k != "image_tokens"}
+    rows_batch["token_rows"] = np.arange(8, dtype=np.int32)
+    optimizer = step_lib.make_optimizer(1e-3)
+    step, _ = step_lib.make_train_step(
+        cfg, V, 0, optimizer, encode_images=False,
+        token_cache=cache, token_cache_mesh=mesh,
+    )
+    sharded_params = mesh_lib.shard_params(params, mesh)
+    with pytest.raises(ValueError, match="divisible by the data axis"):
+        step(sharded_params, optimizer.init(sharded_params), None,
+             mesh_lib.shard_batch(rows_batch, mesh), jax.random.PRNGKey(0))
+
+
+def test_token_cache_placement_rule():
+    """The documented replicated/sharded/None decision, including the
+    NYTimes800k-scale capacity claim (800k rows x 115 KiB bf16 ≈ 88 GiB:
+    too big for any one chip, fits 8 pooled chips at 12 GiB each)."""
+    from icek_tpu.train.loop import resolve_token_cache_placement as place
+
+    row = 196 * 300 * 2                      # bf16 (196, 300) tokens
+    assert place(30_000, row, 4.0, 1) == "replicated"
+    assert place(100_000, row, 4.0, 1) is None          # 11 GiB, one chip
+    assert place(100_000, row, 4.0, 8) == "sharded"     # 1.4 GiB/chip
+    assert place(800_000, row, 4.0, 8) is None          # 11 GiB/chip > 4
+    assert place(800_000, row, 12.0, 8) == "sharded"    # the headline case
+    assert place(800_000, row, 12.0, 1) is None
+    assert place(30_000, row, 0.0, 8) is None           # disabled
+    assert place(0, row, 4.0, 8) is None
+
+
 def test_force_initialize_without_topology_errors_loudly():
     """--distributed with no configured/auto-detectable topology must fail
     with guidance, not silently run an unsharded single-process replica
