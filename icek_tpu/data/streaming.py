@@ -129,10 +129,8 @@ class StreamingCaptionDataset:
         )
         self._images = self._h5["images"]
         self._tokens = None  # h5py dataset once cache_image_tokens ran
-        tokens = token_cache_path(data_dir, base_name, split)
-        if os.path.exists(tokens):
-            self._token_file = h5py.File(tokens, "r")
-            self._tokens = self._token_file["image_tokens"]
+        self._token_file = None
+        self.open_token_cache()
 
     def close(self):
         """Release the HDF5 handles (store, images, token cache)."""
@@ -141,6 +139,33 @@ class StreamingCaptionDataset:
             if f is not None:
                 f.close()
         self._tokens = None
+
+    def open_token_cache(self, path: Optional[str] = None) -> bool:
+        """(Re-)open the disk token cache — default: the canonical
+        ``{SPLIT}_TOKENS_{base}.h5`` path.  Returns False (and leaves no
+        cache attached) when the file does not exist."""
+        import h5py
+
+        path = path or token_cache_path(
+            self._data_dir, self._base_name, self.split
+        )
+        if self._token_file is not None:
+            self._token_file.close()
+            self._token_file = None
+            self._tokens = None
+        if not os.path.exists(path):
+            return False
+        self._token_file = h5py.File(path, "r")
+        self._tokens = self._token_file["image_tokens"]
+        return True
+
+    @property
+    def token_cache_attrs(self) -> dict:
+        """Root attrs of the open token-cache file (e.g. the encoder
+        fingerprint eval_driver binds caches with); {} when no cache."""
+        if self._token_file is None:
+            return {}
+        return dict(self._token_file.attrs)
 
     def __len__(self):
         return self.arrays.size
@@ -156,17 +181,30 @@ class StreamingCaptionDataset:
         return image_ops.normalize_for_model(self.raw_image_batch(idx))
 
     def cache_image_tokens(self, encode_fn, batch_size: int = 32,
-                           dtype=np.float32, raw: bool = False):
+                           dtype=np.float32, raw: bool = False,
+                           path: Optional[str] = None,
+                           attrs: Optional[dict] = None):
         """Run the frozen encoder over the split once, writing the 196-token
         features to a disk-backed contiguous cache (NOT host RAM — at 800k
         images the tokens alone exceed any host).  raw=True as in
-        CaptionDataset.cache_image_tokens (encode_fn normalizes in-graph)."""
+        CaptionDataset.cache_image_tokens (encode_fn normalizes in-graph).
+        ``attrs`` are stored as root attributes of the cache file (the eval
+        driver binds caches to the encoder by fingerprint this way)."""
         import h5py
 
         feed = self.raw_image_batch if raw else self.image_batch
-        path = token_cache_path(self._data_dir, self._base_name, self.split)
+        path = path or token_cache_path(
+            self._data_dir, self._base_name, self.split
+        )
+        if self._token_file is not None:
+            # release our read handle before truncating (HDF5 file locking)
+            self._token_file.close()
+            self._token_file = None
+            self._tokens = None
         probe = np.asarray(encode_fn(feed(np.arange(1))))
         with h5py.File(path, "w") as h:
+            for k, v in (attrs or {}).items():
+                h.attrs[k] = v
             # contiguous (unchunked): random row gathers read exact ranges
             dset = h.create_dataset(
                 "image_tokens", (len(self),) + probe.shape[1:], dtype=dtype,
@@ -177,8 +215,7 @@ class StreamingCaptionDataset:
                 dset[start : start + len(idx)] = np.asarray(
                     encode_fn(feed(idx))
                 )
-        self._token_file = h5py.File(path, "r")
-        self._tokens = self._token_file["image_tokens"]
+        self.open_token_cache(path)
 
     def index_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
                       pad_partial: bool = True, process_index: int = 0,

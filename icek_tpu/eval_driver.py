@@ -188,10 +188,39 @@ class Evaluator:
         serving stale features.  Tokens are stored f32 (exact for both the
         f32 CPU and bf16 TPU pipelines — bf16 values round-trip through
         f32), so cached-token captions are token-identical to the image
-        path (tests/test_eval_driver.py).  Returns "loaded" or "encoded"."""
+        path (tests/test_eval_driver.py).  Returns "loaded" or "encoded".
+
+        Streaming datasets cache to a disk-backed HDF5 file in the
+        streaming sidecar layout instead of an in-RAM .npz (the news-scale
+        split whose re-encodes are slowest is exactly the one that needs
+        ``--streaming``; host RAM never holds the full tokens), with the
+        same fingerprint binding stored as a root attr."""
         import os
 
         fp = self.encoder_fingerprint()
+        from icek_tpu.data import streaming as streaming_lib
+
+        if isinstance(data, streaming_lib.StreamingCaptionDataset):
+            if (
+                data.open_token_cache(cache_path)
+                and data.token_cache_attrs.get("fingerprint") == fp
+                and len(data.image_tokens) == len(data)
+            ):
+                log(f"token cache: loaded {cache_path} "
+                    f"({len(data)} rows, encoder {fp[:12]})")
+                return "loaded"
+            if data.image_tokens is not None:
+                log("token cache: stale (different encoder/length) — "
+                    "re-encoding")
+            encode = jax.jit(partial(self._encode_tokens, mode="raw"))
+            data.cache_image_tokens(
+                lambda raw: encode(jnp.asarray(raw)),
+                batch_size=self.batch_size, dtype=np.float32, raw=True,
+                path=cache_path, attrs={"fingerprint": fp},
+            )
+            log(f"token cache: encoded + saved {cache_path} "
+                f"({len(data)} rows, encoder {fp[:12]})")
+            return "encoded"
         if os.path.exists(cache_path):
             with np.load(cache_path) as z:
                 if (str(z["fingerprint"]) == fp

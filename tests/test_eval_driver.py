@@ -301,3 +301,75 @@ def test_cache_split_tokens_token_identical_and_fingerprint_bound(tmp_path):
     data3 = fresh_data()
     assert other_eval.cache_split_tokens(data3, cache, log=lambda s: None) == "encoded"
     assert other_eval.encoder_fingerprint() != evaluator.encoder_fingerprint()
+
+
+def test_cache_split_tokens_streaming(tmp_path):
+    """--cache-tokens with the STREAMING loader (round-5: the news-scale
+    split whose re-encodes are slowest is exactly the one that needs
+    --streaming): tokens cache to the h5 sidecar, captions are
+    token-identical to the image path, a second run loads, and a different
+    encoder re-encodes instead of serving the stale cache."""
+    import jax
+
+    from icek_tpu import eval_driver
+    from icek_tpu.data import input_files, streaming
+    from icek_tpu.models import captioner, resnet
+
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_train_e2e import make_raw_dataset, tiny_cfg
+
+    cfg = tiny_cfg()
+    raw = make_raw_dataset(tmp_path)
+    out_dir = str(tmp_path / "input_dataset_files")
+    wm = input_files.InputFileWriter(
+        cfg, str(raw / "captions_split.json"), str(raw / "entity_context.pkl"),
+        str(raw / "images"), out_dir, seed=0,
+    ).run()
+    streaming.write_sidecar_store(out_dir, "tiny_geo", "TEST", False)
+
+    key = jax.random.PRNGKey(3)
+    params = captioner.init_captioner_params(key, cfg.model, len(wm))
+    encoder_params = resnet.init_resnet101(key, cfg.model.emb_dim)
+    evaluator = eval_driver.Evaluator(
+        cfg, wm, params, encoder_params, batch_size=4, beam_size=3,
+    )
+
+    def fresh_stream():
+        return streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TEST")
+
+    oracle = evaluator.run(
+        fresh_stream(), output_csv=str(tmp_path / "a.csv"), log=lambda s: None
+    )["captions"]
+
+    cache = streaming.token_cache_path(out_dir, "tiny_geo", "TEST")
+    data = fresh_stream()
+    assert evaluator.cache_split_tokens(data, cache, log=lambda s: None) == "encoded"
+    assert data.image_tokens is not None
+    assert data.token_cache_attrs["fingerprint"] == evaluator.encoder_fingerprint()
+    cached = evaluator.run(
+        data, output_csv=str(tmp_path / "b.csv"), log=lambda s: None
+    )["captions"]
+    assert cached == oracle
+
+    # second invocation loads (constructor auto-opens; fingerprint verifies)
+    data2 = fresh_stream()
+    assert evaluator.cache_split_tokens(data2, cache, log=lambda s: None) == "loaded"
+    assert evaluator.run(
+        data2, output_csv=str(tmp_path / "c.csv"), log=lambda s: None
+    )["captions"] == oracle
+
+    # fingerprint mismatch: a different encoder must re-encode.  Close the
+    # earlier datasets first — HDF5 file locking refuses to truncate a
+    # cache another open handle still reads (one dataset per process in
+    # real runs).
+    data.close()
+    data2.close()
+    other_encoder = resnet.init_resnet101(jax.random.PRNGKey(9), cfg.model.emb_dim)
+    other_eval = eval_driver.Evaluator(
+        cfg, wm, params, other_encoder, batch_size=4, beam_size=3,
+    )
+    data3 = fresh_stream()
+    assert other_eval.cache_split_tokens(data3, cache, log=lambda s: None) == "encoded"
