@@ -139,23 +139,31 @@ def main():
     best = min(times)
     median = sorted(times)[len(times) // 2]
     caps_per_sec = BATCH / best
-    # times/median ride along so cross-round drift is attributable to
-    # tunnel/session conditions vs a real regression (headline stays best-of).
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"captions/sec (ResNet-101 encode + beam-{BEAM} decode, "
-                    f"batch {BATCH}, geo config) per chip"
-                ),
-                "value": round(caps_per_sec, 2),
-                "unit": "captions/sec",
-                "vs_baseline": round(caps_per_sec / REFERENCE_CPU_CAPS_PER_SEC, 2),
-                "median": round(BATCH / median, 2),
-                "times_ms": [round(t * 1e3, 2) for t in times],
-            }
-        )
+    result = {
+        "metric": (
+            f"captions/sec (ResNet-101 encode + beam-{BEAM} decode, "
+            f"batch {BATCH}, geo config) per chip"
+        ),
+        "value": round(caps_per_sec, 2),
+        "unit": "captions/sec",
+        "vs_baseline": round(caps_per_sec / REFERENCE_CPU_CAPS_PER_SEC, 2),
+        "median": round(BATCH / median, 2),
+        "times_ms": [round(t * 1e3, 2) for t in times],
+    }
+    # Chip-relative utilization (utils/roofline.py): analytic model
+    # FLOPs/HBM bytes over the measured wall time, so "fast" is judged
+    # against the hardware, not only the 2.8 caps/s CPU reference.  The
+    # pipeline is bandwidth-bound in its decode phase (BASELINE.md), so
+    # expect low mfu_pct alongside substantial hbm_util_pct.
+    from icek_tpu.utils import roofline
+
+    flops, hbm = roofline.eval_pipeline_costs(
+        mcfg, VOCAB, E, 0, beam=BEAM, max_len=MAX_LEN
     )
+    result.update(
+        roofline.utilization(flops * BATCH, best, hbm_bytes=hbm * BATCH)
+    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -69,7 +69,12 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic",
     accum_env = os.environ.get("ICEK_ACCUM")  # A/B: in-graph grad accumulation
     if accum_env:
         cfg = cfg.replace(train=dataclasses.replace(
-            cfg.train, grad_accum_steps=int(accum_env)))
+            cfg.train,
+            grad_accum_steps=accum_env if accum_env == "auto"
+            else int(accum_env)))
+    # benchmarks pass the bench batch so "auto" (the r5 default) resolves
+    # exactly as a real training run at this batch would
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=batch))
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     rng = np.random.default_rng(0)
     params = captioner.init_captioner_params(jax.random.PRNGKey(0), cfg.model, VOCAB)
@@ -129,14 +134,25 @@ def measure_icek(batch=64, iters=60, flash=None, preset="georic",
                     params, opt_state, None, batch_data, keys[i]
                 )
             float(loss)
-    return {"backend": jax.default_backend(), "batch": batch,
-            "preset": preset,
-            "geometry": f"{cfg.model.emb_dim}x{cfg.model.num_heads}",
-            "rbg_dropout": step_lib.resolve_rbg_dropout(cfg.train.use_rbg_dropout),
-            "flat_optimizer": step_lib.resolve_flat_optimizer(flat),
-            "grad_accum": cfg.train.grad_accum_steps,
-            "step_ms": round(best * 1000, 2),
-            "samples_per_sec": round(batch / best, 1)}
+    result = {"backend": jax.default_backend(), "batch": batch,
+              "preset": preset,
+              "geometry": f"{cfg.model.emb_dim}x{cfg.model.num_heads}",
+              "rbg_dropout": step_lib.resolve_rbg_dropout(cfg.train.use_rbg_dropout),
+              "flat_optimizer": step_lib.resolve_flat_optimizer(flat),
+              # the RESOLVED value ("auto" is the config default since r5)
+              "grad_accum": step_lib.resolve_grad_accum(
+                  cfg.train.grad_accum_steps, cfg.model.variant, batch),
+              "step_ms": round(best * 1000, 2),
+              "samples_per_sec": round(batch / best, 1)}
+    # chip-relative utilization: analytic fwd+bwd GEMM FLOPs over the
+    # measured step time (utils/roofline.py; tokens are pre-cached, the
+    # frozen encoder is not part of the step)
+    from icek_tpu.utils import roofline
+
+    result.update(roofline.utilization(
+        roofline.train_step_flops(cfg.model, VOCAB, E, F, T) * batch, best
+    ))
+    return result
 
 
 def measure_finetune(batch=16, iters=20, bn_train_mode=False):
