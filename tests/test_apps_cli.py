@@ -256,6 +256,7 @@ def test_train_cli_batch_and_accum_plumb(tmp_path, monkeypatch):
     assert captured["cfg"].train.grad_accum_steps == 1
 
 
+@pytest.mark.quick
 def test_cli_help_surfaces():
     """Each of the 15 entry scripts parses --help (argument surface sanity)."""
     for preset_dir in ("geo_aware", "knowledge_aware", "news_knowledge_aware"):

@@ -11,6 +11,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # <5-min core lane (CLAUDE.md)
+
 from icek_tpu.data import codec, context
 
 from conftest import REFERENCE_ROOT, reference_subproject

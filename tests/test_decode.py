@@ -327,6 +327,7 @@ def _oracle_beam(params, cfg, wm, img, ents, facts, K, max_len):
 
 
 @pytest.mark.parametrize("variant", ["geo", "knowledge"])
+@pytest.mark.quick
 def test_beam_matches_bruteforce_oracle(rng, variant):
     from icek_tpu.decode import beam
 
@@ -362,6 +363,7 @@ def test_beam_matches_bruteforce_oracle(rng, variant):
 
 
 @pytest.mark.parametrize("shape_seed", [0, 1, 2])
+@pytest.mark.quick
 def test_greedy_parity_fuzzed_shapes(shape_seed):
     """Forward + greedy parity across randomized dims/heads/context sizes —
     guards broadcasting and indexing across shape combinations."""

@@ -264,6 +264,7 @@ def test_device_token_cache_sharded_matches_host_path(mesh_shape):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.quick
 def test_shard_rows_pads_and_places_contiguous_blocks(tmp_path):
     """shard_rows: rows pad to ceil(n/dp) per data shard, values round-trip
     exactly, and an h5py dataset source works via contiguous range reads
@@ -293,6 +294,7 @@ def test_shard_rows_pads_and_places_contiguous_blocks(tmp_path):
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+@pytest.mark.quick
 def test_sharded_row_gather_matches_host_gather(mesh_shape):
     """sharded_row_gather == cache[rows] bit-for-bit for arbitrary global
     row ids (cross-shard, repeated, and out-of-order — both loaders shuffle
@@ -401,6 +403,7 @@ def test_row_sharded_cache_indivisible_microbatch_fails_loudly():
              mesh_lib.shard_batch(rows_batch, mesh), jax.random.PRNGKey(0))
 
 
+@pytest.mark.quick
 def test_token_cache_placement_rule():
     """The documented replicated/sharded/None decision, including the
     NYTimes800k-scale capacity claim (800k rows x 115 KiB bf16 ≈ 88 GiB:

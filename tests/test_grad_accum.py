@@ -141,6 +141,7 @@ def test_accum_fine_tune_matches_full_batch():
         )
 
 
+@pytest.mark.quick
 def test_resolve_grad_accum(monkeypatch):
     """'auto' deploys the measured per-preset table only where it was
     measured (TPU, batch >= 256); ints and None pass through."""
@@ -159,6 +160,7 @@ def test_resolve_grad_accum(monkeypatch):
     assert resolve("auto", "geo", None) == 1
 
 
+@pytest.mark.quick
 def test_default_config_resolves_per_backend(monkeypatch):
     """The no-flag TrainConfig default is 'auto' (round-5 flagship-defaults
     policy): a zero-flag TPU batch-256 run trains at the measured per-preset

@@ -13,6 +13,8 @@ sampling), NOT against the implementation's own dependencies.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # <5-min core lane (CLAUDE.md)
+
 from icek_tpu.data import images
 
 

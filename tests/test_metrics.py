@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # <5-min core lane (CLAUDE.md)
+
 from icek_tpu.metrics import bleu, cider, meteor, rouge
 
 from conftest import REFERENCE_ROOT, reference_subproject

@@ -133,6 +133,7 @@ def _captions(rng, wm, B, T, E, F=0):
 
 
 @pytest.mark.parametrize("variant", ["geo", "knowledge", "news"])
+@pytest.mark.quick
 def test_captioner_forward_parity(rng, variant):
     subproject = {
         "geo": "geo-aware",
@@ -276,6 +277,7 @@ def test_resnet_primitives_match_torch(rng):
     np.testing.assert_allclose(np.asarray(j), want, atol=1e-4)
 
 
+@pytest.mark.quick
 def test_fold_bn_matches_exact_encode(rng):
     """fold_bn_params + resnet_encode_folded reproduces the exact
     inference-mode encode (BN affine algebraically folded into convs)."""

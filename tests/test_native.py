@@ -6,6 +6,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # <5-min core lane (CLAUDE.md)
+
 from icek_tpu.data import codec, context
 
 

@@ -148,6 +148,7 @@ def test_sharded_greedy_decode_dp_tp_mesh():
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+@pytest.mark.quick
 def test_sharded_beam_decode_matches_single_device(mesh_shape):
     """Beam-5 decode (the flagship/bench configuration) sharded over dp and
     dp+tp meshes must be token- and score-exact vs the single-device run."""

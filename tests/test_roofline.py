@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+
+pytestmark = pytest.mark.quick  # <5-min core lane (CLAUDE.md)
 import jax.numpy as jnp
 
 from icek_tpu.core import config as config_lib

@@ -133,6 +133,7 @@ def test_end_to_end_training(tmp_path):
     assert any("stale counter reset" in s for s in logs), logs[:3]
 
 
+@pytest.mark.quick
 def test_overfit_single_batch(tmp_path):
     """Loss decreases markedly when overfitting one batch — the training
     signal flows through every component."""

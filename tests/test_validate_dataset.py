@@ -8,6 +8,9 @@ import os
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick  # <5-min core lane (CLAUDE.md)
 
 sys.path.insert(0, os.path.dirname(__file__))
 
