@@ -10,6 +10,7 @@ and numerically identical for mean-CE.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -82,9 +83,16 @@ def resolve_grad_accum(steps, variant=None, batch_size=None) -> int:
     batch 256 on v5e-1) showed in-graph accumulation is a throughput WIN at
     production batches, not just a memory lever: geo +18.5% at accum=8,
     news +8.6% at accum=8, knowledge +5% at accum=2 only (higher N
-    measured flat-to-worse there — the per-microbatch fixed costs, e.g.
-    the params-sized gradient-accumulator read+write every microbatch,
-    grow with N and knowledge's gain is the smallest to start).  "auto"
+    measured flat-to-worse there).  The round-5 accum-sweep profiles
+    (tools/profile_train_step.py [.. accum]) explain the knowledge curve:
+    the flash-attention kernels are microbatch-INVARIANT (46.5/46.9/47.7
+    ms/step at accum 1/2/8 — 44% of the step) and the non-attention tail
+    bottoms out by accum=2 (65.9 -> 59.8 -> 59.4 ms), while the
+    per-microbatch accumulator adds stay small and sublinear (2.8 ms/step
+    at accum=2, 3.7 at accum=8 — XLA fuses and hides them; removing one
+    full add pass outright measured +0.3%, benchmarks/accum_init_ab.py).
+    knowledge=2 is a saturation point, not an accumulator-traffic cliff.
+    "auto"
     deploys exactly that table — TPU backend and global batch >= 256, the
     shapes where it was measured — and falls back to 1 (monolithic)
     everywhere else (CPU, small batches).  Ints pass through unchanged;
@@ -380,23 +388,44 @@ def make_train_step(
             total, count, _ = forward_total(p, ep, mb, k)
             return total, count
 
+        grad_fn = jax.value_and_grad(total_fn, argnums=argnums, has_aux=True)
+
         def body(carry, xs):
             g_acc, tot_acc, cnt_acc = carry
             mb, k = xs
-            (tot, cnt), g = jax.value_and_grad(
-                total_fn, argnums=argnums, has_aux=True
-            )(params, encoder_params, mb, k)
+            (tot, cnt), g = grad_fn(params, encoder_params, mb, k)
             g_acc = jax.tree.map(jnp.add, g_acc, g)
             return (g_acc, tot_acc + tot, cnt_acc + cnt), None
 
         micro, keys = _microbatches(batch, rng)
-        shapes = (params, encoder_params) if wrt_encoder else params
-        zeros = jax.tree.map(jnp.zeros_like, shapes)
-        (grads, total, count), _ = jax.lax.scan(
-            body,
-            (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
-            (micro, keys),
-        )
+        if os.environ.get("ICEK_ACCUM_INIT") == "first":
+            # A/B lever (VERDICT r4 #4): seed the carry with microbatch 0's
+            # gradients and scan the remaining N-1, removing the zeros init
+            # + one full params-sized add pass per step.  Bitwise-identical
+            # to the zeros carry (0 + g == g; pinned by
+            # test_accum_init_first_matches_zeros_carry).  MEASURED A WASH
+            # at knowledge batch-256 (benchmarks/accum_init_ab.py,
+            # interleaved, r5): accum=2 2369.3 -> 2375.9 samples/s (+0.3%),
+            # accum=4 2276.4 -> 2279.0 (+0.1%) — the removed add pass is
+            # ~1.4 ms attributed but XLA already hides it behind other
+            # work, and the lever emits the grad graph twice (once inline,
+            # once in the loop body).  Kept opt-in for the record, not
+            # deployed.
+            mb0 = jax.tree.map(lambda v: v[0], micro)
+            (tot0, cnt0), g0 = grad_fn(params, encoder_params, mb0, keys[0])
+            (grads, total, count), _ = jax.lax.scan(
+                body,
+                (g0, tot0, cnt0),
+                (jax.tree.map(lambda v: v[1:], micro), keys[1:]),
+            )
+        else:
+            shapes = (params, encoder_params) if wrt_encoder else params
+            zeros = jax.tree.map(jnp.zeros_like, shapes)
+            (grads, total, count), _ = jax.lax.scan(
+                body,
+                (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+                (micro, keys),
+            )
         inv = 1.0 / jnp.maximum(count, 1).astype(jnp.float32)
         grads = jax.tree.map(lambda g: (g * inv).astype(g.dtype), grads)
         return total * inv, count, grads

@@ -74,6 +74,24 @@ def test_accum_pads_tail_batches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_accum_init_first_matches_zeros_carry(monkeypatch):
+    """ICEK_ACCUM_INIT=first (carry seeded with microbatch 0's gradients,
+    one fewer accumulator add pass — the r5 A/B lever) is bitwise-identical
+    to the stock zeros carry: 0 + g == g exactly, so only the op schedule
+    changes.  Padded tail included (B=10, accum=4)."""
+    cfg, V, params, batch = _setup(B=10)
+    batch = dict(batch)
+    batch["lengths"] = np.array([10, 1, 3, 10, 2, 9, 10, 5, 4, 7], np.int32)
+    rng = jax.random.PRNGKey(5)
+    p1, _, loss1, count1 = _one_step(_with_accum(cfg, 4), V, params, batch, rng)
+    monkeypatch.setenv("ICEK_ACCUM_INIT", "first")
+    p2, _, loss2, count2 = _one_step(_with_accum(cfg, 4), V, params, batch, rng)
+    assert int(count1) == int(count2)
+    assert float(loss1) == float(loss2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_accum_fine_tune_matches_full_batch():
     """The fine-tune path accumulates BOTH gradient trees; encoder and
     decoder parameters after one step match the monolithic fine-tune step."""

@@ -6,7 +6,12 @@ truth, but attributed per-op times overstate savings because XLA hides
 much of it behind async copies — use this for WHERE-time-goes maps, and
 controlled end-to-end A/B for decisions).
 
-Usage: python tools/profile_train_step.py [batch] [preset] [trace_dir]
+Usage: python tools/profile_train_step.py [batch] [preset] [trace_dir] [accum]
+
+`accum` (or ICEK_ACCUM) profiles the in-graph gradient-accumulation step
+at that microbatch count — the round-5 tool for attributing the
+per-microbatch fixed costs that make accum>2 flat-to-worse on the
+knowledge preset (VERDICT r4 #4).  Pass "auto" for the shipped default.
 """
 
 import collections
@@ -85,6 +90,8 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     preset = sys.argv[2] if len(sys.argv) > 2 else "georic"
     trace_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/icek_train_trace"
+    if len(sys.argv) > 4:
+        os.environ["ICEK_ACCUM"] = sys.argv[4]
     from benchmarks.train_throughput import measure_icek
 
     steps = 10
