@@ -36,6 +36,7 @@ from icek_tpu.decode import detok
 from icek_tpu.decode import greedy as greedy_lib
 from icek_tpu.metrics.scores import score_captions
 from icek_tpu.models import captioner, resnet
+from icek_tpu.utils import roofline
 
 
 def synthetic_context(rng, cfg, batch, vocab):
@@ -121,7 +122,7 @@ def run_preset(name, batch, beam, vocab=10000, seed=0):
         captions.append(text)
     refs = [f"w1 w2 entity_1 w3 w{1 + (i % 7)}" for i in range(batch)]
     scores = score_captions(refs, captions, output_csv=None, log=lambda s: None)
-    return {
+    result = {
         "preset": name,
         "batch": batch,
         "beam": beam,
@@ -131,6 +132,17 @@ def run_preset(name, batch, beam, vocab=10000, seed=0):
         "Bleu_4": round(scores["Bleu_4"], 4),
         "CIDEr": round(scores["CIDEr"], 4),
     }
+    # chip-relative utilization, same analytic model as bench.py — decode
+    # is bandwidth-bound, so expect low mfu_pct with high hbm_util_pct
+    F_rows = facts.shape[1] if facts is not None else 0
+    flops, hbm = roofline.eval_pipeline_costs(
+        cfg.model, vocab, E, F_rows, beam=beam,
+        max_len=cfg.decode.max_caption_len,
+    )
+    result.update(
+        roofline.utilization(flops * batch, steady_s, hbm_bytes=hbm * batch)
+    )
+    return result
 
 
 def main():
