@@ -133,7 +133,8 @@ def run_preset(name, batch, beam, vocab=10000, seed=0):
         "CIDEr": round(scores["CIDEr"], 4),
     }
     # chip-relative utilization, same analytic model as bench.py — decode
-    # is bandwidth-bound, so expect low mfu_pct with high hbm_util_pct
+    # is bandwidth-bound, so expect low mfu_pct; hbm_util_pct compares
+    # against the minimal-traffic floor model (utils/roofline.py)
     F_rows = facts.shape[1] if facts is not None else 0
     flops, hbm = roofline.eval_pipeline_costs(
         cfg.model, vocab, E, F_rows, beam=beam,

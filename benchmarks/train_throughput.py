@@ -178,7 +178,11 @@ def measure_finetune(batch=16, iters=20, bn_train_mode=False):
     # peak by ~1/N at the same optimizer semantics.
     if accum_env:
         cfg = cfg.replace(train=dataclasses.replace(
-            cfg.train, grad_accum_steps=int(accum_env)))
+            cfg.train,
+            grad_accum_steps=accum_env if accum_env == "auto"
+            else int(accum_env)))
+    # resolve "auto" against the benchmarked batch, like measure_icek
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=batch))
     compute_dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
     rng = np.random.default_rng(0)
     params = captioner.init_captioner_params(jax.random.PRNGKey(0), cfg.model, VOCAB)
@@ -223,7 +227,10 @@ def measure_finetune(batch=16, iters=20, bn_train_mode=False):
         best = min(best, (time.perf_counter() - t0) / iters)
     result = {"backend": jax.default_backend(), "batch": batch,
               "bn_train_mode": bn_train_mode,
-              "grad_accum": cfg.train.grad_accum_steps,
+              # the RESOLVED value, like measure_icek ("auto" is the config
+              # default since r5; bn_train_mode forces 1)
+              "grad_accum": 1 if bn_train_mode else step_lib.resolve_grad_accum(
+                  cfg.train.grad_accum_steps, cfg.model.variant, batch),
               "step_ms": round(best * 1000, 2),
               "samples_per_sec": round(batch / best, 1)}
     try:  # peak HBM — the number grad accumulation exists to move

@@ -200,47 +200,49 @@ class Evaluator:
         fp = self.encoder_fingerprint()
         from icek_tpu.data import streaming as streaming_lib
 
-        if isinstance(data, streaming_lib.StreamingCaptionDataset):
+        streaming = isinstance(data, streaming_lib.StreamingCaptionDataset)
+
+        def loaded():
+            log(f"token cache: loaded {cache_path} "
+                f"({len(data)} rows, encoder {fp[:12]})")
+            return "loaded"
+
+        def encode_split(**cache_kwargs):
+            # one encode feed for both cache layouts: a divergence here
+            # would silently split the streaming and in-memory caches
+            encode = jax.jit(partial(self._encode_tokens, mode="raw"))
+            data.cache_image_tokens(
+                lambda raw: encode(jnp.asarray(raw)),
+                batch_size=self.batch_size, dtype=np.float32, raw=True,
+                **cache_kwargs,
+            )
+            log(f"token cache: encoded + saved {cache_path} "
+                f"({len(data)} rows, encoder {fp[:12]})")
+            return "encoded"
+
+        if streaming:
             if (
                 data.open_token_cache(cache_path)
                 and data.token_cache_attrs.get("fingerprint") == fp
                 and len(data.image_tokens) == len(data)
             ):
-                log(f"token cache: loaded {cache_path} "
-                    f"({len(data)} rows, encoder {fp[:12]})")
-                return "loaded"
+                return loaded()
             if data.image_tokens is not None:
                 log("token cache: stale (different encoder/length) — "
                     "re-encoding")
-            encode = jax.jit(partial(self._encode_tokens, mode="raw"))
-            data.cache_image_tokens(
-                lambda raw: encode(jnp.asarray(raw)),
-                batch_size=self.batch_size, dtype=np.float32, raw=True,
-                path=cache_path, attrs={"fingerprint": fp},
-            )
-            log(f"token cache: encoded + saved {cache_path} "
-                f"({len(data)} rows, encoder {fp[:12]})")
-            return "encoded"
+            return encode_split(path=cache_path, attrs={"fingerprint": fp})
         if os.path.exists(cache_path):
             with np.load(cache_path) as z:
                 if (str(z["fingerprint"]) == fp
                         and len(z["tokens"]) == len(data)):
                     data.image_tokens = z["tokens"]
-                    log(f"token cache: loaded {cache_path} "
-                        f"({len(data)} rows, encoder {fp[:12]})")
-                    return "loaded"
+                    return loaded()
             log("token cache: stale (different encoder/length) — re-encoding")
-        encode = jax.jit(partial(self._encode_tokens, mode="raw"))
-        data.cache_image_tokens(
-            lambda raw: encode(jnp.asarray(raw)),
-            batch_size=self.batch_size, dtype=np.float32, raw=True,
-        )
+        result = encode_split()
         tmp = cache_path + ".tmp.npz"  # .npz suffix: savez appends it otherwise
         np.savez(tmp, tokens=data.image_tokens, fingerprint=fp)
         os.replace(tmp, cache_path)
-        log(f"token cache: encoded + saved {cache_path} "
-            f"({len(data)} rows, encoder {fp[:12]})")
-        return "encoded"
+        return result
 
     def _pipeline(self, mode: str, num_entity_rows: int):
         """``mode``: "raw" (stored f16 CHW rows, normalized in-graph — the

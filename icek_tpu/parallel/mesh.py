@@ -140,7 +140,10 @@ def shard_rows(source, mesh: Mesh, dtype=None):
             take = max(0, min(hi, n) - lo)
             block = np.zeros((hi - lo,) + shape[1:], dtype=dtype)
             if take:
-                block[:take] = np.asarray(source[lo : lo + take]).astype(dtype)
+                # assignment casts in place — an explicit .astype would
+                # materialize a second full-block temp on a host where
+                # first-touch page faults are the bottleneck (CLAUDE.md)
+                block[:take] = source[lo : lo + take]
             blocks[(lo, hi)] = block
         arrs.append(jax.device_put(blocks[(lo, hi)], dev))
     return jax.make_array_from_single_device_arrays(shape, sharding, arrs)

@@ -351,10 +351,14 @@ def make_train_step(
             encoder_params, new_enc,
         )
 
-    accum = resolve_grad_accum(
-        getattr(cfg.train, "grad_accum_steps", 1),
-        mcfg.variant, cfg.train.batch_size,
-    )
+    accum_steps = getattr(cfg.train, "grad_accum_steps", 1)
+    if bn_train_mode and accum_steps == "auto":
+        # "auto" (the r5 no-flag default) must not break configs the table
+        # was never measured for: BN batch statistics are defined over the
+        # full batch, so auto falls back to the monolithic step here.
+        # Only an EXPLICIT accum > 1 request is a hard error.
+        accum_steps = 1
+    accum = resolve_grad_accum(accum_steps, mcfg.variant, cfg.train.batch_size)
     if accum > 1 and bn_train_mode:
         raise ValueError(
             "grad_accum_steps > 1 is incompatible with bn_train_mode: "

@@ -231,6 +231,24 @@ def test_accum_rejects_bn_train_mode():
         )
 
 
+def test_accum_auto_falls_back_for_bn_train_mode(monkeypatch):
+    """grad_accum_steps='auto' (the r5 no-flag default) must not break
+    bn_train_mode configs the per-preset table was never measured for:
+    on a TPU backend at batch >= 256, auto silently resolves to the
+    monolithic step instead of raising (only an EXPLICIT accum > 1
+    request conflicts with full-batch BN statistics)."""
+    cfg, V, _, _ = _setup()
+    cfg = _with_accum(cfg, "auto")
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, bn_train_mode=True, batch_size=256))
+    monkeypatch.setattr(step_lib.jax, "default_backend", lambda: "tpu")
+    assert step_lib.resolve_grad_accum("auto", cfg.model.variant, 256) > 1
+    optimizer = step_lib.make_optimizer(1e-3)
+    step_lib.make_train_step(  # must not raise
+        cfg, V, 0, optimizer, encode_images=True, bn_train_mode=True
+    )
+
+
 def test_accum_sharded_matches_single_device():
     """Accumulation composes with the dp mesh: the sharded accumulated step
     matches the single-device accumulated step."""
