@@ -133,12 +133,16 @@ class StreamingCaptionDataset:
         self.open_token_cache()
 
     def close(self):
-        """Release the HDF5 handles (store, images, token cache)."""
+        """Release the HDF5 handles (store, images, token cache) AND the
+        persistent epoch window/ring buffers — at batch 256 with stored
+        images those hold several hundred MB per buffer key, which must
+        not outlive the dataset's useful life on overcommitted hosts."""
         for attr in ("_store", "_h5", "_token_file"):
             f = getattr(self, attr, None)
             if f is not None:
                 f.close()
         self._tokens = None
+        self._epoch_buffers = None
 
     def open_token_cache(self, path: Optional[str] = None) -> bool:
         """(Re-)open the disk token cache — default: the canonical
@@ -320,8 +324,13 @@ class StreamingCaptionDataset:
         # per dataset at a time): steady-state host allocation is zero,
         # which matters on overcommitted hosts where fresh pages fault in
         # slowly
+        # the key must pin the SOURCE layout too: opening/rebuilding a token
+        # cache between epochs swaps "images" <-> "image_tokens" (and can
+        # change the token dtype); reusing buffers keyed only on the batch
+        # geometry would read_direct into a missing or mismatched buffer
         bkey = (batch_size, with_images, token_rows, block_rows,
-                window_blocks, ring_depth)
+                window_blocks, ring_depth,
+                tuple(sorted((k, str(d.dtype)) for k, d in sources.items())))
         if getattr(self, "_epoch_buffers", None) is None:
             self._epoch_buffers = {}
         if bkey not in self._epoch_buffers:

@@ -230,7 +230,12 @@ class ServingEngine:
         bucket's executable compiles exactly once — first-request latency
         then excludes XLA compilation."""
         sample = {_ALIASES.get(k, k): np.asarray(v) for k, v in sample.items()}
-        mode = next(k for k in _MODE_KEYS if k in sample)
+        mode = next((k for k in _MODE_KEYS if k in sample), None)
+        if mode is None:  # same error contract as submit(), not StopIteration
+            raise ValueError(
+                f"warmup sample needs one image input of {sorted(_MODE_KEYS)}; "
+                f"got keys {sorted(sample)}"
+            )
         pending = _Pending(sample, mode)
         for b in sorted(set(buckets or self.buckets)):
             self._evaluator.decode_batch(self._assemble(mode, [pending], b))
@@ -330,6 +335,15 @@ class ServingEngine:
         device call (host sync, detokenize, future resolution) happens on
         the postprocess pool so the batcher immediately coalesces the next
         batch while the device runs this one."""
+        # drop requests whose caller already gave up (future.cancel() —
+        # e.g. the HTTP server's request timeout) BEFORE spending device
+        # time on them; under saturation this is what lets the backlog
+        # drain instead of decoding batches nobody is waiting for.  A
+        # surviving future is marked RUNNING here, so a later cancel
+        # no-ops and result delivery in _finish_batch stays valid.
+        group = [p for p in group if p.future.set_running_or_notify_cancel()]
+        if not group:
+            return
         n = len(group)
         bucket = self.buckets[bisect.bisect_left(self.buckets, min(n, self.max_batch))]
         try:

@@ -166,12 +166,21 @@ def _router_handler(state: RouterState):
                         )
                         stats = json.loads(body)
                         entry.update(up=True, stats=stats)
-                        for k, v in stats.items():
+                        # sum ONLY additive counters — summing per-replica
+                        # means (mean_fill) or any future ratio/percentile
+                        # field would produce a meaningless aggregate
+                        for k in ("requests", "batches", "errors"):
+                            v = stats.get(k)
                             if isinstance(v, (int, float)):
                                 totals[k] = totals.get(k, 0) + v
                     except (OSError, ValueError) as exc:
                         entry.update(up=False, error=str(exc))
                     per_backend.append(entry)
+                if totals.get("batches"):
+                    # fleet-wide mean fill = total rows / total batches
+                    totals["mean_fill"] = round(
+                        totals.get("requests", 0) / totals["batches"], 3
+                    )
                 self._reply_json(200, {
                     "totals": totals,
                     "backends": per_backend,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import io
 import json
+from concurrent import futures
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -70,13 +71,25 @@ def _request_handler(engine: ServingEngine, timeout: Optional[float]):
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
                 return
             try:
-                result = engine.caption(sample, timeout=timeout)
+                future = engine.submit(sample)
             except ValueError as exc:
                 # submit()-side validation (bad shapes / missing keys)
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
                 return
-            except TimeoutError as exc:
-                # server saturated — retryable, not the caller's fault
+            except Exception as exc:
+                self._reply(503, {"error": f"{type(exc).__name__}: {exc}"})
+                return
+            try:
+                result = future.result(timeout=timeout)
+            except (TimeoutError, futures.TimeoutError) as exc:
+                # (both spellings: concurrent.futures.TimeoutError only
+                # aliases the builtin from Python 3.11.)  Server saturated
+                # — retryable, not the caller's fault.  Cancel so the
+                # engine drops the request at batch assembly instead of
+                # spending device time on an abandoned caller; without
+                # this, sustained overload decodes batches nobody is
+                # waiting for and the backlog never drains.
+                future.cancel()
                 self._reply(504, {"error": f"request timed out: {exc}"})
                 return
             except Exception as exc:

@@ -181,6 +181,42 @@ def test_cancelled_future_does_not_poison_batchmates(serving_setup):
     assert stats.errors == 0
 
 
+def test_cancelled_request_skips_device_work_when_dropped(serving_setup):
+    """A future cancelled while still QUEUED is dropped at batch assembly
+    (set_running_or_notify_cancel) — the engine must not spend device time
+    on abandoned callers (the HTTP 504 path cancels exactly this way).
+    Cancellation races the batcher, so the assertion is conditional on the
+    cancel having won."""
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    with ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=3,
+        max_batch=4, max_wait_ms=500.0,
+    ) as engine:
+        engine.warmup(_sample(data, 0), buckets=[1, 2, 4])
+        f1 = engine.submit(_sample(data, 0))
+        f2 = engine.submit(_sample(data, 1))
+        won = f1.cancel()
+        out = f2.result(timeout=300)
+        stats = engine.stats()
+    assert isinstance(out["caption"], str)
+    assert stats.errors == 0
+    if won:  # the dropped request must not be counted as served
+        assert stats.requests == 1
+
+
+def test_warmup_rejects_missing_image_key(serving_setup):
+    """warmup() raises the same ValueError contract as submit() when the
+    sample has no image input (was a bare StopIteration)."""
+    cfg, wm, params, encoder_params, data, _ = serving_setup
+    with ServingEngine(
+        cfg, wm, params, encoder_params, beam_size=3, max_batch=2,
+    ) as engine:
+        bad = {k: v for k, v in _sample(data, 0).items()
+               if k not in ("raw_images", "images", "image_tokens")}
+        with pytest.raises(ValueError, match="image input"):
+            engine.warmup(bad)
+
+
 def test_close_resolves_every_inflight_future(serving_setup):
     """close() must leave no future unresolved: everything submitted before
     close either resolves with a caption or fails with 'closed'."""
@@ -326,6 +362,14 @@ def test_router_round_robins_and_aggregates_stats(router_setup, serving_setup):
         agg = json.load(r)
     assert agg["totals"]["requests"] == n
     assert agg["totals"]["errors"] == 0
+    # totals carry only additive counters + the recomputed fleet mean:
+    # summing per-replica means would be meaningless (r5 review fix)
+    assert set(agg["totals"]) <= {"requests", "batches", "errors",
+                                  "mean_fill"}
+    if agg["totals"].get("batches"):
+        assert agg["totals"]["mean_fill"] == pytest.approx(
+            n / agg["totals"]["batches"], abs=1e-3
+        )
     assert [b["requests"] for b in agg["router"]] == per_engine
     assert all(b["up"] for b in agg["router"])
     with urllib.request.urlopen(

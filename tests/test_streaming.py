@@ -78,6 +78,30 @@ def test_streaming_token_cache_on_disk(prepped):
     )
 
 
+def test_epoch_buffers_rebuild_when_image_source_changes(prepped):
+    """The persistent window/ring buffers are keyed on the SOURCE layout:
+    attaching a token cache between epochs swaps the "images" stream for
+    "image_tokens", and reusing the old buffers would read_direct into a
+    missing key (r5 review fix).  Both transitions must yield clean
+    batches, and close() must drop the buffers."""
+    cfg, out_dir, _ = prepped
+    stream = streaming.StreamingCaptionDataset(out_dir, "tiny_geo", "TRAIN")
+    kw = dict(shuffle=False, block_rows=3, window_blocks=2, copy=True)
+    first = list(stream.epoch_batches(4, **kw))
+    assert all("images" in b or "raw_images" in b for b in first)
+
+    def fake_encode(imgs):
+        return np.full((len(imgs), 4, 6), 0.5, np.float32)
+
+    stream.cache_image_tokens(fake_encode, batch_size=4)
+    second = list(stream.epoch_batches(4, **kw))  # same geometry key
+    assert all("image_tokens" in b and "images" not in b for b in second)
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a["caption_ids"], b["caption_ids"])
+    stream.close()
+    assert stream._epoch_buffers is None
+
+
 def test_token_cache_raw_feed_matches_host_normalize(prepped):
     """cache_image_tokens(raw=True) feeds the encoder the stored f16 CHW
     rows (the bf16-training fast path in train/loop.py); with an encode_fn
