@@ -170,8 +170,15 @@ class InputFileWriter:
         dc = self.data_cfg
         is_news = self.cfg.model.variant == "news"
         normalizer = None if is_news else codec.normalize_name_geo
+        # context lookup key: the news dataset keys its entity/knowledge
+        # contexts by ARTICLE id (img["item"],
+        # news-knowledge-aware/create_input_files.py:165) while geo/
+        # knowledge key by image url (geo-aware/create_input_files.py:151).
+        # Fall back to "url" so url-keyed news datasets (synthetic
+        # fixtures) still pack.
+        ckey = img["item"] if is_news and "item" in img else img["url"]
         ent_feats, ent_names = context.pack_context(
-            self._context_rows(self.entity_contexts[img["url"]]),
+            self._context_rows(self.entity_contexts[ckey]),
             name_key=dc.name_col,
             feature_keys=list(dc.entity_feature_cols),
             random_ranges=list(dc.entity_random_ranges),
@@ -186,7 +193,7 @@ class InputFileWriter:
         fact_feats = fact_names = None
         if self.knowledge_contexts is not None:
             fact_feats, fact_names = context.pack_context(
-                self._context_rows(self.knowledge_contexts[img["url"]]),
+                self._context_rows(self.knowledge_contexts[ckey]),
                 name_key="object",
                 feature_keys=list(dc.fact_feature_cols),
                 random_ranges=list(dc.fact_random_ranges),

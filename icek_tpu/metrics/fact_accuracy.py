@@ -152,6 +152,16 @@ class FactAccuracyMetric:
             predicates.append(f"{pred}_{n}" if pred == "years" else pred)
         for pred in dict.fromkeys(predicates):
             label = self.merged_synonyms.get(pred, pred)
+            # DELIBERATE divergence from the reference: its
+            # check_predicate_for_year extends the SHARED
+            # predicate_to_phrases table in place
+            # (knowledge-aware/fact_accuracy_metric.py:219,230), so after
+            # the first caption that hits the entity-type merge branch,
+            # every later caption matches against the polluted phrase set
+            # and the metric depends on caption processing ORDER.  The
+            # copy here keeps the table immutable; corpora that trigger
+            # that branch can score slightly lower (stricter) than the
+            # reference's order-dependent number.
             phrases = list(
                 self.predicate_phrases.get(label, {}).get(
                     "phrases", [label.replace("_", " ")]

@@ -217,7 +217,12 @@ class JSGeoMetric:
                 if not feature.endswith("_probs"):
                     continue
                 name = feature.split("_")[0]
-                ref = self.train_distributions[term][name]
+                # the train table carries BOTH the raw per-occurrence bin
+                # list ("distance") and the probability vector
+                # ("distance_probs"); the reference compares prob-vs-prob
+                # (jensen_shannon_metric.py:215-221).  Reading the bare
+                # name here fetched the raw bin list (r5 review fix).
+                ref = self.train_distributions[term][feature]
                 out[term][name] = self.js_distance(
                     list(ref), list(data[feature])
                 )

@@ -124,6 +124,14 @@ try:
         return _STEMMER.stem(w)
 
 except Exception:  # pragma: no cover - nltk is expected in the image
+    import warnings
+
+    warnings.warn(
+        "METEOR stem stage DISABLED: nltk's PorterStemmer is unavailable, "
+        "so stem matches degrade to exact matches and scores are NOT "
+        "comparable with stemmer-enabled environments.",
+        stacklevel=2,
+    )
 
     def _stem(w: str) -> str:
         return w

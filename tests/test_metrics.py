@@ -286,6 +286,48 @@ def test_js_geo_accumulation_matches_reference(monkeypatch):
         assert abs(
             JSGeoMetric.js_distance(p, q) - ref_metric.js_distance(np.array(p), np.array(q))
         ) < 1e-12
+
+        # END-TO-END score parity vs the reference's compute_metrics on its
+        # REAL train distribution table (r5: compute() read the raw
+        # per-occurrence bin list instead of the "<feature>_probs" vector
+        # the reference compares against — accumulation parity alone never
+        # caught it).  The reference divides by n_occurrences while
+        # building probs, so n=0 terms (which crash it) are filtered from
+        # the copy it receives; ours skips them by contract.
+        import contextlib
+        import copy as copy_lib
+        import io
+        import pickle
+
+        with open(path / "data" / "geo_probability_distr_train.pkl", "rb") as f:
+            train = pickle.load(f)
+        analysis = {
+            t: copy_lib.deepcopy(v)
+            for t, v in ref_metric.geo_probability_distr_generated.items()
+            if v["n_occurrences"] > 0
+        }
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ref_metric.compute_metrics(analysis, train)
+        ref_scores = {}
+        term = None
+        for line in buf.getvalue().splitlines():
+            if line and line == line.upper() and ":" not in line:
+                term = line.lower()
+            elif ":" in line and not line.startswith("Number"):
+                name, val = line.split(":")
+                ref_scores.setdefault(term, {})[name.strip()] = float(val)
+        assert ref_scores, "failed to parse reference compute_metrics output"
+
+        mine_t = JSGeoMetric(
+            wm, ref_metric.bins_distance, ref_metric.bins_azimuth,
+            len(ref_metric.OSM_types_index),
+            train_distributions=train, print_metrics=False,
+        )
+        out = mine_t.compute(mine.generated)
+        for t, feats in ref_scores.items():
+            for name, val in feats.items():
+                assert abs(out[t][name] - val) < 1e-12, (t, name)
     finally:
         sys.path.pop(0)
         sys.modules.pop("jensen_shannon_metric", None)

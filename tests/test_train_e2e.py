@@ -570,13 +570,17 @@ def test_news_end_to_end(tmp_path):
             rng.integers(0, 255, (36, 36, 3), dtype=np.uint8)
         ).save(img_dir / f"img{i}.jpg")
         url = f"http://news.example/{i}"
+        # real NYTimes800k keys contexts by ARTICLE id, not url
+        # (news-knowledge-aware/create_input_files.py:165) — the fixture
+        # exercises that path: contexts keyed by "item", url kept distinct
+        article = f"article{i}"
         split = "train" if i < 5 else ("val" if i < 7 else "test")
         tokens = ["the", "mayor", "of", "new_york", "in", "1999"]
         mask = [0, 0, 0, 1, 0, 2]
         images.append({"tokens": tokens, "mask": mask, "url": url,
-                       "id": f"img{i}", "split": split})
+                       "item": article, "id": f"img{i}", "split": split})
         pd_ctx = pytest.importorskip("pandas")
-        entity_contexts[url] = pd_ctx.DataFrame(
+        entity_contexts[article] = pd_ctx.DataFrame(
             {
                 "name_processed": ["new_york", "city_hall"],
                 "count": [4, 1],
@@ -585,7 +589,7 @@ def test_news_end_to_end(tmp_path):
                 "type": [2, 5],
             }
         )
-        knowledge_contexts[url] = pd_ctx.DataFrame(
+        knowledge_contexts[article] = pd_ctx.DataFrame(
             {
                 "object": ["1999", "giuliani"],
                 "subject_idx_in_entity_context": [0, 0],
